@@ -1,0 +1,20 @@
+"""Test configuration: force CPU JAX with 8 virtual devices so sharding
+paths are exercised without TPU hardware (SURVEY.md §4 implication (c))."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_FIXTURE = "/root/reference/src/test/small.gto"
+
+
+@pytest.fixture(scope="session")
+def small_gto():
+    from kmers_anno_tpu.genome import Genome
+    return Genome.load(REFERENCE_FIXTURE)
