@@ -1,0 +1,68 @@
+"""``apply`` — apply a discriminating-kmer database to genomes
+(ApplyKmerProcessor.java:45-157)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from ..engine.apply_engine import KmerApplyEngine
+from ..engine.signature import SignatureTable
+from ..genome.gto import GenomeDirectory
+from ..reports.apply_reports import ApplyKmerReporter
+from .base import BaseProcessor, ParseFailureException
+
+log = logging.getLogger(__name__)
+
+
+class ApplyKmerProcessor(BaseProcessor):
+
+    HELP = ("apply a discriminating-kmer database to genomes to create a "
+            "role-count file")
+
+    def add_options(self, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument(
+            "--format", default="APPLY", choices=["APPLY", "VERIFY"],
+            help="reporting format (default APPLY)")
+        parser.add_argument(
+            "-m", "--min", dest="min_hits", type=int, default=5,
+            metavar="10", help="minimum number of hits to call a role")
+        parser.add_argument(
+            "-o", "--output", metavar="outFile", default=None,
+            help="report output file (default: stdout)")
+        parser.add_argument("kmerDbFile", metavar="kmerdb.tbl",
+                            help="discriminating kmer database")
+        parser.add_argument("goodRoleFile", metavar="roles.in.use",
+                            help="list of roles in use")
+        parser.add_argument("inDir", metavar="gtoDir",
+                            help="input genome directory")
+
+    def validate_parms(self) -> None:
+        self.require_dir(self.inDir, "Input directory")
+        self.require_file(self.kmerDbFile, "Kmer database file")
+        self.require_file(self.goodRoleFile, "Roles-to-use file")
+        if self.min_hits < 1:
+            raise ParseFailureException("Min-hits must be positive.")
+
+    def run_command(self) -> None:
+        out = open(self.output, "w") if self.output else sys.stdout
+        try:
+            reporter = ApplyKmerReporter.create(self.format, out)
+            reporter.init_report(self.goodRoleFile)
+            log.info("Loading kmer database from %s.", self.kmerDbFile)
+            signatures = SignatureTable.load(self.kmerDbFile)
+            log.info("Kmer size is %d.", signatures.k)
+            engine = KmerApplyEngine(signatures, min_hits=self.min_hits)
+            genomes = GenomeDirectory(self.inDir)
+            log.info("%d genomes found in input directory.", len(genomes))
+            for genome in genomes:
+                log.info("Processing genome %s.", genome)
+                reporter.open_genome(genome)
+                for feat, role, count in engine.call_genome(genome):
+                    reporter.record_feature(feat, role, count)
+                reporter.close_genome()
+            reporter.close_report()
+        finally:
+            if self.output:
+                out.close()

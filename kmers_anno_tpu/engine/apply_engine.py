@@ -1,0 +1,138 @@
+"""Signature-table annotation engine (the ``apply`` hot path).
+
+Replicates ApplyKmerProcessor.java:113-155 with the TPU-native dataflow of
+the BASELINE north star:
+
+    host: concatenate a genome's proteins into ONE flat uint8 token stream
+          (with segment ids), padded to a static block size
+    device (one jitted program):
+          pack kmer windows → hash-probe the flat table → segmented
+          unanimous vote (Q9) → (called role, hit count) per protein
+
+The Java inner loop walks kmers sequentially and aborts on the first
+conflicting role hit; the outcome is order-free (SURVEY.md §2c Q9), so the
+device reduction uses segmented min/max/sum — no scan, no data-dependent
+control flow, everything lands on the VPU with static shapes.
+
+Batch shapes are bucketed (token stream length and segment count rounded up
+to power-of-two-ish buckets) so XLA compiles a handful of programs per run
+regardless of genome sizes.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..genome.gto import Genome, Feature
+from ..ops.encode import PROT_PAD, encode_protein
+from ..ops.hashtable import probe_table
+from ..ops.kmers import pack_kmer_windows
+from .signature import SignatureTable
+
+log = logging.getLogger(__name__)
+
+_INT32_MAX = 2**31 - 1
+
+
+def _bucket(n: int, minimum: int) -> int:
+    """Round up to the next power of two (≥ minimum) to bound recompiles."""
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs"))
+def apply_flat(table, codes, seg_ids, valid, min_hits, *,
+               k: int, max_probes: int, n_seqs: int):
+    """The fused apply step over a flat token stream.
+
+    table:    (S, 4) uint32 open-addressing signature table
+    codes:    (T,) uint8 concatenated protein codes (PROT_PAD padding)
+    seg_ids:  (T,) int32 protein index per token (padding → n_seqs)
+    valid:    (T,) bool — kmer window starting here stays inside one protein
+    min_hits: int32 scalar — minimum unanimous hits to call a role
+
+    returns (role (n_seqs,) int32 — called role index or -1,
+             hits (n_seqs,) int32 — unanimous hit count, 0 if uncalled)
+    """
+    lo, hi = pack_kmer_windows(codes, k)
+    roles = probe_table(table, lo, hi, valid, max_probes)
+    hit = valid & (roles >= 0)
+    seg = jnp.where(hit, seg_ids, n_seqs)
+    n_hits = jax.ops.segment_sum(
+        hit.astype(jnp.int32), seg, num_segments=n_seqs + 1)[:-1]
+    rmin = jax.ops.segment_min(
+        jnp.where(hit, roles, _INT32_MAX), seg, num_segments=n_seqs + 1)[:-1]
+    rmax = jax.ops.segment_max(
+        jnp.where(hit, roles, -1), seg, num_segments=n_seqs + 1)[:-1]
+    unanimous = (n_hits > 0) & (rmin == rmax)
+    called = unanimous & (n_hits >= min_hits)
+    return jnp.where(called, rmax, -1), jnp.where(called, n_hits, 0)
+
+
+class FlatBatch:
+    """A flat token-stream batch of protein sequences (host side)."""
+
+    __slots__ = ("codes", "seg_ids", "valid", "n_seqs")
+
+    def __init__(self, proteins: list[str], k: int,
+                 min_tokens: int = 16384, min_seqs: int = 256):
+        n = len(proteins)
+        lengths = np.fromiter((len(p) for p in proteins), np.int64, n)
+        total = int(lengths.sum())
+        width = _bucket(total, min_tokens)
+        codes = np.full(width, PROT_PAD, np.uint8)
+        seg_ids = np.full(width, _bucket(n, min_seqs), np.int32)
+        valid = np.zeros(width, bool)
+        pos = 0
+        for i, prot in enumerate(proteins):
+            ln = len(prot)
+            codes[pos: pos + ln] = encode_protein(prot)
+            seg_ids[pos: pos + ln] = i
+            if ln >= k:
+                valid[pos: pos + ln - k + 1] = True
+            pos += ln
+        self.codes = codes
+        self.seg_ids = seg_ids
+        self.valid = valid
+        self.n_seqs = _bucket(n, min_seqs)
+
+
+class KmerApplyEngine:
+    """Annotates genomes against a packed signature table."""
+
+    def __init__(self, signatures: SignatureTable, min_hits: int = 5):
+        self.signatures = signatures
+        self.k = signatures.k
+        self.min_hits = min_hits
+        self.table, self.max_probes = signatures.device_table()
+        self.role_ids = signatures.role_ids
+
+    def call_proteins(self, proteins: list[str]
+                      ) -> list[tuple[str, int] | None]:
+        """Per protein: (role_id, unanimous hit count) or None when no role
+        is called (miss / conflicting hits / below min_hits)."""
+        if not proteins:
+            return []
+        batch = FlatBatch(proteins, self.k)
+        role, hits = apply_flat(
+            self.table, jnp.asarray(batch.codes), jnp.asarray(batch.seg_ids),
+            jnp.asarray(batch.valid), jnp.int32(self.min_hits),
+            k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        role = np.asarray(role)[: len(proteins)]
+        hits = np.asarray(hits)[: len(proteins)]
+        return [(self.role_ids[r], int(h)) if r >= 0 else None
+                for r, h in zip(role, hits)]
+
+    def call_genome(self, genome: Genome
+                    ) -> list[tuple[Feature, str, int]]:
+        """All called (feature, role_id, hits) triples of a genome's pegs,
+        in peg order (ApplyKmerProcessor.java:122-147)."""
+        pegs = [f for f in genome.pegs if f.protein_translation]
+        calls = self.call_proteins([f.protein_translation for f in pegs])
+        return [(feat, call[0], call[1])
+                for feat, call in zip(pegs, calls) if call is not None]

@@ -1,0 +1,352 @@
+"""Discriminating-kmer signature table: build, save/load, device packing.
+
+Replicates the two-pass ``build`` semantics (BuildKmerProcessor.java:137-223,
+SURVEY.md §3.2) with a TPU-native architecture: instead of a
+``HashMap<String, RoleCounter>``, kmers are packed into (lo, hi) uint32 key
+pairs and the good/bad role bookkeeping becomes a device **sort-based
+group-by** (jax.lax.sort + segmented min/max), which is how a hash-map
+build maps onto an accelerator without atomics.
+
+Semantics preserved exactly:
+
+* a peg contributes kmers only when its function has exactly ONE interesting
+  role after RoleMap filtering (Q10 — BuildKmerProcessor.java:156-175);
+* pegs with ZERO interesting roles form a kill list: any kmer they contain
+  is deleted from the table (pass 2, BuildKmerProcessor.java:196-208);
+* a kmer survives pass 1 only if every occurrence carries the same role
+  (RoleCounter.isGood ⇔ badCount == 0, RoleCounter.java:54-56) — in
+  order-free terms: min(role) == max(role) over its occurrence segment;
+* output is one ``kmer TAB roleId`` line per surviving kmer
+  (BuildKmerProcessor.java:212-216).  The reference emits HashMap order
+  (arbitrary); we emit packed-key sort order (deterministic).
+
+The kill pass is itself a device op: candidates are packed into an
+open-addressing table, kill kmers are probed against it, and hit slots are
+marked dead — no host-side set membership at any scale.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from dataclasses import dataclass, field
+from functools import partial
+from typing import IO, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..genome.gto import Genome
+from ..genome.roles import RoleMap
+from ..ops.encode import encode_protein, decode_protein
+from ..ops.hashtable import EMPTY, build_table, probe_table, table_size_for
+from ..utils.counters import CountMap
+
+log = logging.getLogger(__name__)
+
+_NO_ROLE = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# host-side packing (NumPy mirror of ops.kmers.pack_kmer_windows)
+# ---------------------------------------------------------------------------
+
+def pack_kmers_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All length-k windows of a protein code array, packed 5 bits/char.
+
+    codes: (L,) uint8; returns (lo, hi): (L-k+1,) uint32 each.
+    Bit layout identical to ops.kmers.pack_kmer_windows so host-packed keys
+    and device-packed keys compare equal.
+    """
+    n = len(codes) - k + 1
+    if n <= 0:
+        z = np.zeros(0, np.uint32)
+        return z, z
+    lo = np.zeros(n, np.uint32)
+    hi = np.zeros(n, np.uint32)
+    c = codes.astype(np.uint32)
+    for j in range(k):
+        w = c[j: j + n]
+        if j < 6:
+            lo |= w << np.uint32(5 * j)
+        else:
+            hi |= w << np.uint32(5 * (j - 6))
+    return lo, hi
+
+
+def unpack_kmer_np(lo: np.ndarray, hi: np.ndarray, k: int) -> np.ndarray:
+    """Inverse of pack_kmers_np: (N,) lo/hi → (N, k) uint8 codes."""
+    n = len(lo)
+    out = np.zeros((n, k), np.uint8)
+    for j in range(k):
+        word = lo if j < 6 else hi
+        shift = 5 * j if j < 6 else 5 * (j - 6)
+        out[:, j] = (word >> np.uint32(shift)) & np.uint32(31)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device group-by: unanimity over sorted key segments
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _unanimity_groupby(lo: jnp.ndarray, hi: jnp.ndarray, role: jnp.ndarray):
+    """Sort (hi, lo) keys and test per-key role unanimity.
+
+    lo/hi:  (N,) uint32 packed keys (EMPTY = padding, sorts last)
+    role:   (N,) int32 role index per occurrence
+    returns (slo, shi, srole, keep) — sorted arrays plus a bool mask that is
+    True exactly at the first position of each real key whose occurrences
+    all share one role.
+    """
+    n = lo.shape[0]
+    shi, slo, srole = jax.lax.sort((hi, lo, role), num_keys=2)
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    first = (shi != prev_hi) | (slo != prev_lo)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    rmin = jax.ops.segment_min(srole, seg, num_segments=n)
+    rmax = jax.ops.segment_max(srole, seg, num_segments=n)
+    unanimous = rmin[seg] == rmax[seg]
+    real = slo != EMPTY
+    keep = first & real & unanimous
+    n_unique = jnp.sum(first & real).astype(jnp.int32)
+    return slo, shi, srole, keep, n_unique
+
+
+@partial(jax.jit, static_argnames=("n_cand", "max_probes"))
+def _mark_killed(cand_table, kill_lo, kill_hi, n_cand, max_probes):
+    """Probe kill kmers against the candidate table; return a bool mask over
+    candidate indices that were hit (pass 2 delete semantics)."""
+    valid = kill_lo != EMPTY
+    idx = probe_table(cand_table, kill_lo, kill_hi, valid, max_probes)
+    dead = jnp.zeros((n_cand,), jnp.bool_)
+    return dead.at[jnp.where(idx >= 0, idx, n_cand)].set(True, mode="drop")
+
+
+def _dedup_pairs(lo: np.ndarray, hi: np.ndarray,
+                 role: np.ndarray | None) -> tuple[np.ndarray, ...]:
+    """Host dedup of (key, role) pairs within one genome.  Safe because
+    unanimity only depends on the SET of roles seen per kmer, not counts."""
+    if role is None:
+        u = np.unique(np.stack([hi, lo], axis=1), axis=0)
+        return u[:, 1], u[:, 0]
+    u = np.unique(
+        np.stack([hi, lo, role.astype(np.uint32)], axis=1), axis=0)
+    return u[:, 1], u[:, 0], u[:, 2].astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# the signature table object
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SignatureTable:
+    """A built discriminating-kmer table: packed keys + role indices."""
+
+    k: int
+    key_lo: np.ndarray          # (N,) uint32
+    key_hi: np.ndarray          # (N,) uint32
+    role_idx: np.ndarray        # (N,) int32 — index into role_ids
+    role_ids: list[str]         # role index → role ID string
+    stats: dict = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.key_lo)
+
+    # ----- text round-trip (the reference interchange format) -----
+
+    def kmer_texts(self) -> list[str]:
+        codes = unpack_kmer_np(self.key_lo, self.key_hi, self.k)
+        return [decode_protein(row) for row in codes]
+
+    def save(self, target: str | IO) -> None:
+        """Write ``kmer TAB roleId`` lines (BuildKmerProcessor.java:215)."""
+        fh = open(target, "w") if isinstance(target, str) else target
+        try:
+            for text, ridx in zip(self.kmer_texts(), self.role_idx):
+                fh.write(f"{text}\t{self.role_ids[ridx]}\n")
+        finally:
+            if isinstance(target, str):
+                fh.close()
+
+    @classmethod
+    def load(cls, source: str | IO) -> "SignatureTable":
+        """Load a kmer DB TSV; K is inferred from the kmer text length
+        (ApplyKmerProcessor.java:108)."""
+        fh = open(source, "r") if isinstance(source, str) else source
+        try:
+            kmers: list[str] = []
+            ridx: list[int] = []
+            role_ids: list[str] = []
+            role_index: dict[str, int] = {}
+            for line in fh:
+                line = line.rstrip("\r\n")
+                if not line:
+                    continue
+                kmer, role = line.split("\t")[:2]
+                i = role_index.get(role)
+                if i is None:
+                    i = role_index[role] = len(role_ids)
+                    role_ids.append(role)
+                kmers.append(kmer)
+                ridx.append(i)
+        finally:
+            if isinstance(source, str):
+                fh.close()
+        if not kmers:
+            raise ValueError("empty kmer database")
+        k = len(kmers[0])
+        lo = np.zeros(len(kmers), np.uint32)
+        hi = np.zeros(len(kmers), np.uint32)
+        for i, km in enumerate(kmers):
+            klo, khi = pack_kmers_np(encode_protein(km), k)
+            lo[i], hi[i] = klo[0], khi[0]
+        return cls(k=k, key_lo=lo, key_hi=hi,
+                   role_idx=np.asarray(ridx, np.int32), role_ids=role_ids)
+
+    # ----- device packing -----
+
+    def device_table(self, load_factor: float = 0.5):
+        """Pack into the bucketed open-addressing device table.
+
+        returns (table (B, 24) uint32 jnp array — resident on device so the
+        hot path never re-uploads it, max_probes int)
+        """
+        table, max_probes = build_table(
+            self.key_lo, self.key_hi, self.role_idx.astype(np.uint32),
+            load_factor=load_factor)
+        return jnp.asarray(table), max_probes
+
+    def role_counts(self) -> CountMap:
+        counts = CountMap()
+        for ridx in self.role_idx:
+            counts.count(self.role_ids[ridx])
+        return counts
+
+
+# ---------------------------------------------------------------------------
+# the build pipeline
+# ---------------------------------------------------------------------------
+
+def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
+                     good_roles: Sequence[str], k: int = 8,
+                     genome_filter: set[str] | None = None,
+                     progress: bool = True) -> SignatureTable:
+    """Build the discriminating-kmer table (``build`` command semantics).
+
+    genomes:       iterable of Genome (one pass; streaming-friendly)
+    role_map:      role definitions (roles.in.subsystems)
+    good_roles:    interesting role IDs (roles.to.use column 1)
+    genome_filter: optional set of genome IDs to process (-g option)
+    """
+    good = set(good_roles)
+    role_ids: list[str] = []
+    role_index: dict[str, int] = {}
+
+    cand_lo: list[np.ndarray] = []
+    cand_hi: list[np.ndarray] = []
+    cand_role: list[np.ndarray] = []
+    kill_lo: list[np.ndarray] = []
+    kill_hi: list[np.ndarray] = []
+    buffered = 0
+
+    for genome in genomes:
+        if genome_filter is not None and genome.id not in genome_filter:
+            continue
+        g_lo: list[np.ndarray] = []
+        g_hi: list[np.ndarray] = []
+        g_role: list[np.ndarray] = []
+        gk_lo: list[np.ndarray] = []
+        gk_hi: list[np.ndarray] = []
+        n_interesting = 0
+        n_buffered = 0
+        for peg in genome.pegs:
+            prot = peg.protein_translation
+            if not prot or len(prot) < k:
+                continue
+            peg_roles = [r for r in peg.get_useful_roles(role_map)
+                         if r.id in good]
+            if not peg_roles:
+                # kill-list protein (BuildKmerProcessor.java:160-164)
+                lo, hi = pack_kmers_np(encode_protein(prot), k)
+                gk_lo.append(lo)
+                gk_hi.append(hi)
+                n_buffered += 1
+            elif len(peg_roles) == 1:
+                # sole interesting role (Q10)
+                rid = peg_roles[0].id
+                ridx = role_index.get(rid)
+                if ridx is None:
+                    ridx = role_index[rid] = len(role_ids)
+                    role_ids.append(rid)
+                lo, hi = pack_kmers_np(encode_protein(prot), k)
+                g_lo.append(lo)
+                g_hi.append(hi)
+                g_role.append(np.full(len(lo), ridx, np.int32))
+                n_interesting += 1
+        if g_lo:
+            lo, hi, role = _dedup_pairs(
+                np.concatenate(g_lo), np.concatenate(g_hi),
+                np.concatenate(g_role))
+            cand_lo.append(lo)
+            cand_hi.append(hi)
+            cand_role.append(role)
+        if gk_lo:
+            lo, hi = _dedup_pairs(
+                np.concatenate(gk_lo), np.concatenate(gk_hi), None)
+            kill_lo.append(lo)
+            kill_hi.append(hi)
+        buffered += n_buffered
+        if progress:
+            log.info("%s: %d interesting pegs, %d buffered.",
+                     genome, n_interesting, n_buffered)
+
+    if not cand_lo:
+        return SignatureTable(k=k, key_lo=np.zeros(0, np.uint32),
+                              key_hi=np.zeros(0, np.uint32),
+                              role_idx=np.zeros(0, np.int32),
+                              role_ids=role_ids,
+                              stats={"buffered": buffered})
+
+    lo = np.concatenate(cand_lo)
+    hi = np.concatenate(cand_hi)
+    role = np.concatenate(cand_role)
+
+    # Pass 1 prune on device: sort-based unanimity group-by.
+    slo, shi, srole, keep, n_unique = _unanimity_groupby(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(role))
+    keep = np.asarray(keep)
+    slo = np.asarray(slo)[keep]
+    shi = np.asarray(shi)[keep]
+    srole = np.asarray(srole)[keep]
+    n_pruned = int(n_unique) - len(slo)
+    log.info("%d non-unique kmers deleted.  %d discriminating kmers left.  "
+             "%d proteins buffered.", n_pruned, len(slo), buffered)
+
+    # Pass 2 on device: delete any candidate present in a kill protein.
+    n_killed = 0
+    if kill_lo and len(slo):
+        cand_table, max_probes = build_table(
+            slo, shi, np.arange(len(slo), dtype=np.uint32))
+        dead = np.zeros(len(slo), bool)
+        for klo, khi in zip(kill_lo, kill_hi):
+            hit = _mark_killed(cand_table, jnp.asarray(klo),
+                               jnp.asarray(khi), len(slo), max_probes)
+            dead |= np.asarray(hit)
+        n_killed = int(dead.sum())
+        slo, shi, srole = slo[~dead], shi[~dead], srole[~dead]
+    log.info("%d kmers killed by buffered proteins.  "
+             "%d discriminating kmers remaining.", n_killed, len(slo))
+
+    table = SignatureTable(
+        k=k, key_lo=slo, key_hi=shi, role_idx=srole, role_ids=role_ids,
+        stats={"buffered": buffered, "pruned": int(n_pruned),
+               "killed": n_killed})
+    counts = table.role_counts()
+    for rid in good:
+        if counts.get_count(rid) == 0:
+            log.warning("No kmers found for %s: %s.",
+                        rid, role_map.get_name(rid))
+    return table

@@ -7,12 +7,12 @@ round-trip losslessly to the packed integer arrays used by the device ops.
 
 from .dna import DnaTranslator, GeneticCode, reverse_complement
 from .locations import Location, Frame, SortedLocationList
-from .gto import Genome, Feature, Contig, CloseGenome
+from .gto import Genome, Feature, Contig, CloseGenome, SubsystemRow
 from .roles import Role, RoleMap, Function, FunctionMap
 
 __all__ = [
     "DnaTranslator", "GeneticCode", "reverse_complement",
     "Location", "Frame", "SortedLocationList",
-    "Genome", "Feature", "Contig", "CloseGenome",
+    "Genome", "Feature", "Contig", "CloseGenome", "SubsystemRow",
     "Role", "RoleMap", "Function", "FunctionMap",
 ]

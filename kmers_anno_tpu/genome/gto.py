@@ -76,6 +76,7 @@ class Feature:
 
     def __init__(self, raw: dict):
         self.raw = raw
+        self.genome: "Genome | None" = None  # backref set by Genome
 
     # -- construction used by the projection engine (KmerProcessor.java:302) --
 
@@ -172,6 +173,11 @@ class Feature:
         self.raw.setdefault("annotations", []).append(
             [text, tool, time.time(), ""])
 
+    @property
+    def subsystem_rows(self) -> list["SubsystemRow"]:
+        """Subsystem rows binding this feature (Feature.getSubsystemRows)."""
+        return self.genome.subsystem_rows_of(self.id) if self.genome else []
+
     def get_useful_roles(self, role_map) -> list:
         """Roles of this feature's function present in the role map
         (Feature.getUsefulRoles contract — BuildKmerProcessor.java:158)."""
@@ -181,6 +187,47 @@ class Feature:
     def genome_of(fid: str) -> str:
         m = _FID_GENOME_RE.match(fid)
         return m.group(1) if m else ""
+
+
+class SubsystemRow:
+    """One subsystem of a genome (SubsystemRow contract, SURVEY.md §2b:
+    getName/getRoles/getClassifications/isActive — UpdateJsonProcessor.java:
+    311-326).  GTO schema (observed in small.gto): {name, role_bindings:
+    [{role_id, features}], classification: [..], variant_code}."""
+
+    def __init__(self, raw: dict):
+        self.raw = raw
+
+    @property
+    def name(self) -> str:
+        return self.raw.get("name", "")
+
+    @property
+    def classifications(self) -> list[str]:
+        return list(self.raw.get("classification", []))
+
+    @property
+    def variant_code(self) -> str:
+        return self.raw.get("variant_code", "")
+
+    @property
+    def is_active(self) -> bool:
+        code = self.variant_code
+        return code not in ("", "0", "-1", "inactive", "dirty.-1", "*-1")
+
+    @property
+    def role_bindings(self) -> list[dict]:
+        return self.raw.get("role_bindings", [])
+
+    @property
+    def roles(self) -> list[str]:
+        return [b.get("role_id", "") for b in self.role_bindings]
+
+    def feature_ids(self) -> set[str]:
+        out: set[str] = set()
+        for b in self.role_bindings:
+            out.update(b.get("features", []))
+        return out
 
 
 class CloseGenome:
@@ -212,8 +259,11 @@ class Genome:
     def __init__(self, raw: dict):
         self.raw = raw
         self._features = [Feature(f) for f in raw.get("features", [])]
+        for f in self._features:
+            f.genome = self
         self._contigs = [Contig(c) for c in raw.get("contigs", [])]
         self._by_id: dict[str, Feature] | None = None
+        self._sub_index: dict[str, list["SubsystemRow"]] | None = None
 
     # ----- I/O -----
 
@@ -296,6 +346,7 @@ class Genome:
         return self._by_id.get(fid)
 
     def add_feature(self, feat: Feature) -> None:
+        feat.genome = self
         self._features.append(feat)
         self._by_id = None
 
@@ -316,11 +367,22 @@ class Genome:
         return out
 
     @property
-    def subsystems(self) -> list[dict]:
-        return self.raw.get("subsystems", [])
+    def subsystems(self) -> list[SubsystemRow]:
+        return [SubsystemRow(s) for s in self.raw.get("subsystems", [])]
+
+    def subsystem_rows_of(self, fid: str) -> list[SubsystemRow]:
+        """Subsystem rows binding a feature (Feature.getSubsystemRows
+        contract — FullCompareAnnotationReporter.java:46-47)."""
+        if self._sub_index is None:
+            self._sub_index = {}
+            for row in self.subsystems:
+                for bound_fid in row.feature_ids():
+                    self._sub_index.setdefault(bound_fid, []).append(row)
+        return self._sub_index.get(fid, [])
 
     def clear_subsystems(self) -> None:
         self.raw["subsystems"] = []
+        self._sub_index = None
 
 
 class GenomeDirectory:

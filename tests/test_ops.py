@@ -174,8 +174,9 @@ def test_table_build_probe_roundtrip():
 
 
 def test_table_slot_count_power_of_two():
-    assert table_size_for(100, 0.5) == 256
-    assert table_size_for(1, 0.5) == 16
+    # bucket counts: 100 keys / (0.5 load × 8 slots) = 25 → 32 buckets
+    assert table_size_for(100, 0.5) == 32
+    assert table_size_for(1, 0.5) == 2
 
 
 # ----- vote -----
