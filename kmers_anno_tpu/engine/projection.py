@@ -1,0 +1,378 @@
+"""ORF-projection annotation engine (the ``kmers``/``batch`` flagship path,
+KmerProcessor.annotateGenome — KmerProcessor.java:166-287).
+
+Pipeline, re-architected for the device:
+
+1. **Contig kmer index** (hot loop #1): 6-frame device translation + window
+   packing (ops.contig_kmers) over the new genome's contigs; the HashMap of
+   kmer→locations becomes a device sort-based CSR (unique keys → location
+   ranges) fronted by the bucketed probe table.  STRICT mode drops
+   multi-location kmers (KmerFactory.java:64-68); AGGRESSIVE keeps all.
+2. **Peg singleton kmers** per close genome (hot loop #2): flat-stream
+   window packing + device sort; kmers occurring exactly once survive
+   (Q5 — CountMap.getSingletons, KmerProcessor.java:319-327).
+3. **Matching** (hot loop #3): one device probe of all singleton kmers
+   against the contig table; hits expand through the CSR to
+   (peg, contig-location) pairs.
+4. **Window scan** (hot loop #4): pairs bucket by (peg, frame) — frame =
+   strand + codon phase of the location (FramedLocationLists semantics) —
+   and each bucket's sorted location list is scanned for evidence windows
+   (Q6), feeding the proposal list (Q3 strength/3, Q7 ORF dedup).
+5. Surviving proposals become features in numbering order (Q8), with
+   start-aware translation and the two annotation-history strings.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..genome.dna import DnaTranslator
+from ..genome.gto import Feature, Genome
+from ..genome.locations import Location
+from ..ops.contig_kmers import extract_contig_kmers
+from ..ops.encode import PROT_PAD, encode_protein
+from ..ops.hashtable import build_table, probe_table
+from ..ops.kmers import pack_kmer_windows
+from .apply_engine import _bucket
+from .proposals import PegProposalList
+
+log = logging.getLogger(__name__)
+
+TOOL_NAME = "kmers.anno"
+
+
+# ---------------------------------------------------------------------------
+# device group-by: unique keys with counts (shared by index + singletons)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _sort_with_payload(lo, hi, payload):
+    """Sort (hi, lo) keys carrying one int32 payload; returns sorted arrays
+    plus first-of-segment flags and per-position segment ids."""
+    shi, slo, spay = jax.lax.sort((hi, lo, payload), num_keys=2)
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    first = (shi != prev_hi) | (slo != prev_lo)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(jnp.ones_like(seg), seg,
+                                 num_segments=lo.shape[0])
+    return slo, shi, spay, first, seg, counts
+
+
+# ---------------------------------------------------------------------------
+# contig kmer index
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ContigKmerIndex:
+    """Device-probed kmer → location-list index over a genome's contigs.
+
+    CSR layout: unique keys (in the probe table, value = rank) own the
+    location range locs[starts[rank] : starts[rank] + counts[rank]].
+    """
+
+    k: int
+    table: jnp.ndarray          # (B, 24) device probe table (key → rank)
+    max_probes: int
+    ukey_lo: np.ndarray         # (U,) uint32 — unique packed keys
+    ukey_hi: np.ndarray         # (U,) uint32
+    starts: np.ndarray          # (U,) int64
+    counts: np.ndarray          # (U,) int32
+    loc_contig: np.ndarray      # (N,) int32  — contig index
+    loc_strand: np.ndarray      # (N,) int8   — 0='+', 1='-'
+    loc_left: np.ndarray        # (N,) int32  — 1-based left edge
+    contig_ids: list            # contig index → id
+    n_unique: int
+
+    @classmethod
+    def build(cls, genome: Genome, k: int = 8,
+              strict: bool = False) -> "ContigKmerIndex":
+        parts = []
+        contig_ids = []
+        for ci, contig in enumerate(genome.contigs):
+            got = extract_contig_kmers(contig.sequence, k,
+                                       genome.genetic_code)
+            got["contig"] = np.full(len(got["lo"]), ci, np.int32)
+            parts.append(got)
+            contig_ids.append(contig.id)
+        lo = np.concatenate([p["lo"] for p in parts])
+        hi = np.concatenate([p["hi"] for p in parts])
+        left = np.concatenate([p["left"] for p in parts])
+        strand = np.concatenate([p["strand"] for p in parts])
+        contig = np.concatenate([p["contig"] for p in parts])
+        n = len(lo)
+        if n == 0:
+            raise ValueError("genome has no contig kmers")
+
+        # device sort by key; payload = original row index
+        idx = np.arange(n, dtype=np.int32)
+        slo, shi, sidx, first, seg, counts = _sort_with_payload(
+            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(idx))
+        slo = np.asarray(slo)
+        shi = np.asarray(shi)
+        sidx = np.asarray(sidx)
+        first = np.asarray(first)
+        counts = np.asarray(counts)
+
+        starts_all = np.flatnonzero(first)          # (U,)
+        ukey_lo = slo[starts_all]
+        ukey_hi = shi[starts_all]
+        ucounts = counts[: len(starts_all)]
+        if strict:
+            keep = ucounts == 1                      # STRICT: unique only
+            ukey_lo, ukey_hi = ukey_lo[keep], ukey_hi[keep]
+            starts_all, ucounts = starts_all[keep], ucounts[keep]
+        table, max_probes = build_table(
+            ukey_lo, ukey_hi, np.arange(len(ukey_lo), dtype=np.uint32))
+        return cls(
+            k=k, table=jnp.asarray(table), max_probes=max_probes,
+            ukey_lo=ukey_lo, ukey_hi=ukey_hi,
+            starts=starts_all.astype(np.int64),
+            counts=ucounts.astype(np.int32),
+            loc_contig=contig[sidx], loc_strand=strand[sidx],
+            loc_left=left[sidx], contig_ids=contig_ids,
+            n_unique=len(ukey_lo))
+
+
+# ---------------------------------------------------------------------------
+# close-genome peg singleton kmers
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k",))
+def _flat_kmers(codes, lengths_bcast, pos_in_seq, k: int):
+    """Packed kmers + peg-path validity over a flat protein token stream:
+    Q1 (drop the final kmer: pos < len - k, strict) and Q2 peg path
+    ('X'-only rejection — KmerReference.java:134-139)."""
+    from ..ops.encode import PROT_X
+    from ..ops.kmers import window_any
+    lo, hi = pack_kmer_windows(codes, k)
+    bad = (codes == PROT_X) | (codes >= PROT_PAD)
+    has_bad = window_any(bad, k)
+    valid = (pos_in_seq < lengths_bcast - k) & ~has_bad
+    return lo, hi, valid
+
+
+def peg_singleton_kmers(genome: Genome, k: int = 8):
+    """Unique peg kmers of a genome: (lo, hi, peg_index) arrays plus the
+    peg list (Q5 — only kmers occurring exactly once genome-wide)."""
+    pegs = [f for f in genome.pegs if f.protein_translation]
+    if not pegs:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
+                np.zeros(0, np.int32), pegs)
+    lengths = np.array([len(f.protein_translation) for f in pegs], np.int64)
+    total = int(lengths.sum())
+    width = _bucket(total, 4096)
+    codes = np.full(width, PROT_PAD, np.uint8)
+    peg_of = np.full(width, -1, np.int32)
+    len_bcast = np.zeros(width, np.int32)
+    pos_in_seq = np.zeros(width, np.int32)
+    pos = 0
+    for i, f in enumerate(pegs):
+        ln = lengths[i]
+        codes[pos: pos + ln] = encode_protein(f.protein_translation)
+        peg_of[pos: pos + ln] = i
+        len_bcast[pos: pos + ln] = ln
+        pos_in_seq[pos: pos + ln] = np.arange(ln)
+        pos += ln
+    lo, hi, valid = _flat_kmers(jnp.asarray(codes), jnp.asarray(len_bcast),
+                                jnp.asarray(pos_in_seq), k)
+    valid = np.asarray(valid)
+    lo = np.asarray(lo)[valid]
+    hi = np.asarray(hi)[valid]
+    peg_idx = peg_of[valid]
+
+    # singletons via device sort group-by
+    slo, shi, spay, first, seg, counts = _sort_with_payload(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(peg_idx))
+    first = np.asarray(first)
+    counts = np.asarray(counts)
+    starts = np.flatnonzero(first)
+    singles = counts[: len(starts)] == 1
+    sel = starts[singles]
+    return (np.asarray(slo)[sel], np.asarray(shi)[sel],
+            np.asarray(spay)[sel], pegs)
+
+
+# ---------------------------------------------------------------------------
+# the annotator
+# ---------------------------------------------------------------------------
+
+class ProjectionAnnotator:
+    """Annotates genomes by projecting close-genome proteins onto ORFs."""
+
+    def __init__(self, min_strength: float = 0.50, max_fuzz: float = 1.5,
+                 min_fuzz: float = 0.8, max_genomes: int = 10,
+                 min_evidence: int = 10, k: int = 8,
+                 algorithm: str = "AGGRESSIVE",
+                 trace_function: str | None = None):
+        if min_strength >= 1.0:
+            raise ValueError("Minimum strength must be less than 1.")
+        if max_fuzz <= 1.0:
+            raise ValueError("Max length factor must be greater than 1.")
+        if min_fuzz > 1.0:
+            raise ValueError(
+                "Min length factor must be less than or equal to 1.")
+        self.min_strength = min_strength
+        self.max_fuzz = max_fuzz
+        self.min_fuzz = min_fuzz
+        self.max_genomes = max_genomes
+        self.min_evidence = min_evidence
+        self.k = k
+        self.strict = algorithm.upper() == "STRICT"
+        self.trace_function = trace_function
+
+    def annotate_genome(self, genome: Genome, close_loader) -> dict:
+        """Annotate in place; close_loader(genome_id) → Genome | None.
+
+        Returns the proposal statistics dict.
+        """
+        k = self.k
+        log.info("Annotating proposed genome %s: %s", genome.id, genome.name)
+        real_strength = self.min_strength / 3          # Q3
+        proposals = PegProposalList(genome, real_strength,
+                                    self.min_evidence)
+        index = ContigKmerIndex.build(genome, k, strict=self.strict)
+        log.info("%d kmers found in genome.", index.n_unique)
+        close = genome.close_genomes
+        log.info("%d close genomes available from input.", len(close))
+        i_genome = 1
+        for cg in close:
+            if i_genome > self.max_genomes:
+                break
+            log.info("Retrieving close genome #%d %s: %s.", i_genome,
+                     cg.genome_id, cg.genome_name)
+            old_genome = close_loader(cg.genome_id)
+            if old_genome is None:
+                log.warning("Genome %s not found-- skipping.", cg.genome_id)
+                continue
+            i_genome += 1
+            self._project_from(old_genome, index, proposals)
+        log.info("%d proposals made, %d merged, %d rejected, %d too weak, "
+                 "%d too little evidence, %d kept.", proposals.made,
+                 proposals.merged, proposals.rejected, proposals.weak,
+                 proposals.small, proposals.count)
+        # emit features in numbering order (Q8)
+        peg_count = 0
+        xlator = DnaTranslator(genome.genetic_code)
+        for prop in proposals:
+            peg_count += 1
+            self._make_feature(prop, genome, peg_count, xlator)
+        log.info("Processing complete. %d features in genome.", peg_count)
+        return {
+            "made": proposals.made, "merged": proposals.merged,
+            "rejected": proposals.rejected, "weak": proposals.weak,
+            "small": proposals.small, "kept": proposals.count,
+            "pegs": peg_count,
+        }
+
+    # ----- per close genome -----
+
+    def _project_from(self, old_genome: Genome, index: ContigKmerIndex,
+                      proposals: PegProposalList) -> None:
+        k = self.k
+        lo, hi, peg_idx, pegs = peg_singleton_kmers(old_genome, k)
+        log.info("%d unique peg kmers in %s.", len(lo), old_genome.id)
+        if not len(lo):
+            return
+        ranks = np.asarray(probe_table(
+            index.table, jnp.asarray(lo), jnp.asarray(hi),
+            jnp.ones(len(lo), bool), index.max_probes))
+        hit = ranks >= 0
+        ranks = ranks[hit]
+        peg_hit = peg_idx[hit]
+        if not len(ranks):
+            return
+        # CSR expansion: each (peg, rank) pair fans out to counts[rank] locs
+        counts = index.counts[ranks]
+        starts = index.starts[ranks]
+        total = int(counts.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+        loc_idx = np.repeat(starts, counts) + offs
+        pair_peg = np.repeat(peg_hit, counts)
+        l_contig = index.loc_contig[loc_idx]
+        l_strand = index.loc_strand[loc_idx]
+        l_left = index.loc_left[loc_idx]
+        l_right = l_left + 3 * k - 1                 # Q4: span 3K bases
+        log.info("%d matching kmers found.", total)
+
+        # frame of each location: '+' → P(left%3), '-' → M(right%3)
+        frame = np.where(l_strand == 0, 3 + l_left % 3, l_right % 3)
+        # group by (frame, peg): matches FramedLocationLists bucketing
+        order = np.lexsort((l_left, l_contig, pair_peg, frame))
+        g_frame = frame[order]
+        g_peg = pair_peg[order]
+        boundary = np.flatnonzero(
+            (g_frame[1:] != g_frame[:-1]) | (g_peg[1:] != g_peg[:-1]))
+        group_starts = np.concatenate([[0], boundary + 1])
+        group_ends = np.concatenate([boundary + 1, [len(order)]])
+
+        pegs_found = low_kmer = too_short = proposal_count = 0
+        for gs, ge in zip(group_starts, group_ends):
+            rows = order[gs:ge]
+            peg = pegs[g_peg[gs]]
+            pegs_found += 1
+            peg_len = peg.protein_length * 3
+            max_len = int(peg_len * self.max_fuzz + 1)
+            min_len = int(peg_len * self.min_fuzz)
+            min_kmers = int(peg_len * (self.min_strength / 3))
+            size = len(rows)
+            if min_kmers > size:
+                low_kmer += 1
+                continue
+            cids = l_contig[rows]
+            lefts = l_left[rows]
+            rights = l_right[rows]
+            strand = "+" if l_strand[rows[0]] == 0 else "-"
+            # rows are sorted by (contig, left) within the group — the
+            # SortedLocationList order (right ties impossible: fixed span)
+            n = size - min_kmers
+            for i in range(n + 1):
+                same = cids == cids[i]
+                later = np.arange(size) > i
+                max_edge = lefts[i] + max_len
+                min_edge = lefts[i] + min_len
+                window = same & later & (rights < max_edge)
+                evidence = 1 + int(window.sum())
+                best_edge = int(max(rights[i],
+                                    rights[window].max()
+                                    if window.any() else 0))
+                if best_edge < min_edge:
+                    too_short += 1
+                    continue
+                whole = Location(index.contig_ids[int(cids[i])], strand,
+                                 int(lefts[i]), best_edge)
+                found = proposals.propose(whole, peg.function, evidence)
+                if found is not None and self.trace_function == peg.function:
+                    log.info("Proposal stored using %s at location %s with "
+                             "evidence %d and strength %s.", peg.id, whole,
+                             evidence, found.strength)
+                proposal_count += 1
+        log.info("%d peg/frame pairs examined, %d had too few kmers, "
+                 "%d were too short, %d proposals were made.",
+                 pegs_found, low_kmer, too_short, proposal_count)
+
+    # ----- feature emission (Q8) -----
+
+    @staticmethod
+    def _make_feature(proposal, genome: Genome, peg_num: int,
+                      xlator: DnaTranslator) -> None:
+        fid = f"fig|{genome.id}.peg.{peg_num}"
+        loc = proposal.loc
+        feat = Feature.create(fid, proposal.function, loc.contig_id,
+                              loc.strand, loc.left, loc.right)
+        dna = genome.get_dna(loc)
+        prot = xlator.peg_translate(dna, 1, len(dna) - 3)
+        feat.protein_translation = prot
+        feat.add_annotation(
+            "Annotated with evidence %d and strength %2.4f"
+            % (proposal.evidence, proposal.strength), TOOL_NAME)
+        feat.add_annotation("Set function to " + proposal.function,
+                            TOOL_NAME)
+        genome.add_feature(feat)

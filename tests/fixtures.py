@@ -105,3 +105,82 @@ def make_genome(genome_id: str, seed: int, n_per_role: int = 3,
         "close_genomes": [],
         "subsystems": [],
     })
+
+
+# ---------------------------------------------------------------------------
+# ORF-projection fixtures: a new genome with real ORFs + a close genome
+# whose pegs are the ORF translations
+# ---------------------------------------------------------------------------
+
+CODONS = [a + b + c for a in "acgt" for b in "acgt" for c in "acgt"]
+STOPS = {"taa", "tag", "tga"}
+BODY_CODONS = [c for c in CODONS if c not in STOPS]
+
+
+def random_gene(rng: random.Random, n_codons: int) -> str:
+    """atg + random non-stop body + taa."""
+    body = "".join(rng.choice(BODY_CODONS) for _ in range(n_codons))
+    return "atg" + body + "taa"
+
+
+def random_spacer(rng: random.Random, n: int) -> str:
+    """Intergenic DNA with stop codons in every frame so ORF extension
+    terminates quickly."""
+    return "".join(rng.choice(["taa", "tag", "tga", "ta", "t"])
+                   for _ in range(n))
+
+
+def make_projection_pair(seed: int = 42, n_genes: int = 8,
+                         old_id: str = "300.1", new_id: str = "400.1"):
+    """(new_genome, {old_id: old_genome}) for projection tests.
+
+    The new genome's contig carries n_genes ORFs (half on the minus
+    strand); the old genome has one peg per ORF with a distinct function.
+    """
+    from kmers_anno_tpu.genome.dna import DnaTranslator, reverse_complement
+
+    rng = random.Random(seed)
+    xl = DnaTranslator(11)
+    parts = [random_spacer(rng, 20)]
+    genes = []
+    for i in range(n_genes):
+        gene = random_gene(rng, rng.randint(60, 140))
+        strand = "+" if i % 2 == 0 else "-"
+        start = sum(len(p) for p in parts) + 1  # 1-based left of gene
+        placed = gene if strand == "+" else reverse_complement(gene)
+        parts.append(placed)
+        genes.append((gene, strand, start, start + len(gene) - 1))
+        parts.append(random_spacer(rng, rng.randint(15, 30)))
+    dna = "".join(parts)
+
+    old_features = []
+    for i, (gene, strand, left, right) in enumerate(genes):
+        prot = xl.peg_translate(gene, 1, len(gene) - 3)
+        old_features.append({
+            "id": f"fig|{old_id}.peg.{i + 1}",
+            "type": "CDS",
+            "function": f"Projected role number {i + 1}",
+            "location": [["oldcon", str(100 * i + 1), "+",
+                          len(gene)]],
+            "protein_translation": prot,
+            "annotations": [], "aliases": [],
+        })
+    old_genome = Genome({
+        "id": old_id, "scientific_name": "Oldus referencius",
+        "genetic_code": 11, "domain": "Bacteria",
+        "features": old_features,
+        "contigs": [{"id": "oldcon", "dna": "acgt" * 100,
+                     "genetic_code": 11}],
+        "close_genomes": [], "subsystems": [],
+    })
+    new_genome = Genome({
+        "id": new_id, "scientific_name": "Novus targetius",
+        "genetic_code": 11, "domain": "Bacteria",
+        "features": [],
+        "contigs": [{"id": "newcon", "dna": dna, "genetic_code": 11}],
+        "close_genomes": [{"genome": old_id,
+                           "genome_name": "Oldus referencius",
+                           "closeness_measure": 99.9}],
+        "subsystems": [],
+    })
+    return new_genome, {old_id: old_genome}

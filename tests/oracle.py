@@ -84,3 +84,114 @@ def oracle_apply_protein(kmer_db: dict[str, str], protein: str, k: int,
     if role_id is not None and count >= min_hits:
         return role_id, count
     return None
+
+
+# ---------------------------------------------------------------------------
+# ORF-projection oracle (KmerProcessor.annotateGenome transcription)
+# ---------------------------------------------------------------------------
+
+from kmers_anno_tpu.genome.dna import DnaTranslator
+from kmers_anno_tpu.genome.locations import Location
+
+
+def oracle_contig_kmers(genome, k: int, strict: bool = False):
+    """KmerReference.getContigKmers + KmerFactory (KmerReference.java:
+    157-203, KmerFactory.java:64-81): kmer text -> list of Locations."""
+    xlator = DnaTranslator(genome.genetic_code)
+    kmers = {}
+    for contig in genome.contigs:
+        seq_len = len(contig.sequence)
+        for strand, seq in (("+", contig.sequence),
+                            ("-", contig.r_sequence)):
+            for frame in (1, 2, 3):
+                prot = xlator.translate(seq, frame, len(seq))
+                end = len(prot) - k
+                for i in range(end):
+                    km = prot[i: i + k]
+                    if "*" in km or "X" in km:
+                        continue
+                    if strand == "+":
+                        left = i * 3 + frame
+                    else:
+                        left = (seq_len - 3 * k + 2) - (i * 3 + frame)
+                    kmers.setdefault(km, []).append(
+                        Location(contig.id, strand, left, left + 3 * k - 1))
+    if strict:
+        kmers = {t: v for t, v in kmers.items() if len(v) == 1}
+    return kmers
+
+
+def oracle_peg_singletons(genome, k: int):
+    """KmerReference.countPegKmers + getSingletons (Q5): kmer -> peg id."""
+    counts = {}
+    for feat in genome.pegs:
+        prot = feat.protein_translation
+        if not prot:
+            continue
+        end = len(prot) - k
+        for i in range(end):
+            km = prot[i: i + k]
+            if "X" in km:
+                continue
+            if km not in counts:
+                counts[km] = [feat.id, 0]
+            counts[km][1] += 1
+    return {km: fid for km, (fid, c) in counts.items() if c == 1}
+
+
+def oracle_annotate(genome, close_genomes, k=8, min_strength=0.5,
+                    max_fuzz=1.5, min_fuzz=0.8, min_evidence=10,
+                    max_genomes=10, strict=False):
+    """Direct transcription of KmerProcessor.annotateGenome
+    (KmerProcessor.java:166-287): returns (proposals list in numbering
+    order, stats dict).  Mutates nothing."""
+    from kmers_anno_tpu.engine.proposals import PegProposalList
+
+    real_strength = min_strength / 3
+    proposals = PegProposalList(genome, real_strength, min_evidence)
+    contig_kmers = oracle_contig_kmers(genome, k, strict)
+    n_genomes = 0
+    for cg in genome.close_genomes:
+        if n_genomes >= max_genomes:
+            break
+        old = close_genomes.get(cg.genome_id)
+        if old is None:
+            continue
+        n_genomes += 1
+        peg_kmers = oracle_peg_singletons(old, k)
+        # framer: [frame][pegId] -> sorted location list
+        framer = {}
+        for km, fid in peg_kmers.items():
+            for loc in contig_kmers.get(km, ()):
+                framer.setdefault((loc.frame, fid), []).append(loc)
+        for (frame, fid), locs in framer.items():
+            locs.sort(key=lambda l: (l.contig_id, l.left, l.right))
+            peg = old.get_feature(fid)
+            peg_len = peg.protein_length * 3
+            max_len = int(peg_len * max_fuzz + 1)
+            min_len = int(peg_len * min_fuzz)
+            min_kmers = int(peg_len * real_strength)
+            if min_kmers > len(locs):
+                continue
+            n = len(locs) - min_kmers
+            for i in range(n + 1):
+                first = locs[i]
+                evidence = 1
+                max_edge = first.left + max_len
+                min_edge = first.left + min_len
+                best_edge = first.right
+                for loc in locs[i + 1:]:
+                    if loc.contig_id != first.contig_id:
+                        break
+                    if loc.right < max_edge:
+                        evidence += 1
+                        best_edge = max(best_edge, loc.right)
+                if best_edge < min_edge:
+                    continue
+                whole = Location(first.contig_id, first.strand,
+                                 first.left, best_edge)
+                proposals.propose(whole, peg.function, evidence)
+    stats = dict(made=proposals.made, merged=proposals.merged,
+                 rejected=proposals.rejected, weak=proposals.weak,
+                 small=proposals.small, kept=proposals.count)
+    return list(proposals), stats
