@@ -1,0 +1,120 @@
+"""``hashAnno`` — kmer-hash re-annotation over a genome source
+(HashAnnotationProcessor.java:63-330)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+from ..engine.annotation import ANNO_FILE_RE, OUTPUT_HEADER
+from ..engine.hashanno import Prototype, annotate_genome_rows
+from ..genome.sources import GenomeSource
+from ..utils.io import TabbedLineReader
+from .base import BaseMultiReportProcessor, ParseFailureException
+
+log = logging.getLogger(__name__)
+
+
+class HashAnnotationProcessor(BaseMultiReportProcessor):
+
+    HELP = ("use a protein kmer hash to annotate features in a PATRIC "
+            "dump directory")
+
+    def add_options(self, parser: argparse.ArgumentParser) -> None:
+        super().add_options(parser)
+        parser.add_argument(
+            "-K", "--kmer", dest="kmer_size", type=int, default=8,
+            metavar="10", help="protein kmer size")
+        parser.add_argument(
+            "--minSim", dest="min_score", type=float, default=0.0125,
+            metavar="0.1",
+            help="minimum acceptable similarity score for annotation")
+        parser.add_argument(
+            "--minLen", dest="min_prot_len", type=int, default=50,
+            metavar="200",
+            help="minimum acceptable length for an annotation protein")
+        parser.add_argument(
+            "--source", "-t", dest="source_type", default="DIR",
+            help="type of genome source")
+        parser.add_argument(
+            "--missing", action="store_true",
+            help="if specified, only new genomes will be annotated")
+        parser.add_argument("annoFile", metavar="annoFile",
+                            help="input role annotation file")
+        parser.add_argument("inDir", metavar="inDir",
+                            help="input genome source")
+
+    def default_out_dir(self) -> str:
+        return os.path.join(os.getcwd(), "Annotations")
+
+    def validate_parms(self) -> None:
+        if self.kmer_size < 2:
+            raise ParseFailureException("Kmer Size must be at least 2.")
+        if not 0.0 <= self.min_score < 1.0:
+            raise ParseFailureException(
+                "Minimum similarity score must be between 0 and 1.")
+        if self.min_prot_len < self.kmer_size:
+            raise ParseFailureException(
+                "Minimum protein length cannot be less than kmer size.")
+        self.require_file(self.annoFile, "Role annotation file")
+        if not os.path.exists(self.inDir):
+            raise FileNotFoundError(
+                f"Genome source {self.inDir} not found.")
+        # role annotation file: headered TSV with protein + annotation cols
+        self.prototypes: list[Prototype] = []
+        with TabbedLineReader(self.annoFile) as reader:
+            anno_i = reader.find_field("annotation")
+            prot_i = reader.find_field("protein")
+            for line in reader:
+                anno = line.get(anno_i)
+                prot = line.get(prot_i)
+                if anno.strip() and len(prot) >= self.min_prot_len:
+                    self.prototypes.append(Prototype(prot, anno))
+        log.info("%d annotations found.", len(self.prototypes))
+        self.genomes = GenomeSource.create(self.source_type, self.inDir)
+        log.info("%d genomes loaded from %s.", len(self.genomes),
+                 self.inDir)
+
+    def run_command(self) -> None:
+        self.prepare_out_dir()
+        genome_ids = set(self.genomes.ids())
+        if self.missing:
+            for name in os.listdir(self.outDir):
+                m = ANNO_FILE_RE.fullmatch(name)
+                if m:
+                    genome_ids.discard(m.group(1))
+            log.info("%d genomes left to process.", len(genome_ids))
+        totals = dict(features=0, proteins=0, confirmed=0, defaulted=0,
+                      changed=0)
+        with open(self.out_file("changes.tbl"), "w") as change_writer:
+            change_writer.write(OUTPUT_HEADER + "\n")
+            for i, gid in enumerate(sorted(genome_ids), 1):
+                genome = self.genomes.get(gid)
+                log.info("Processing genome %d of %d:  %s.", i,
+                         len(genome_ids), genome)
+                start = time.time()
+                rows, changes, stats = annotate_genome_rows(
+                    genome, self.prototypes, self.kmer_size,
+                    self.min_score)
+                with open(self.out_file(f"{gid}.anno.tbl"), "w") as fh:
+                    fh.write(OUTPUT_HEADER + "\n")
+                    for row in rows:
+                        fh.write("\t".join(row) + "\n")
+                for row in changes:
+                    change_writer.write("\t".join(row) + "\n")
+                log.info("%d default annotations, %d confirmed "
+                         "annotations, %d new annotations in %s.",
+                         stats["defaulted"], stats["confirmed"],
+                         stats["changed"], genome)
+                log.info("%.1fs to annotate %s.", time.time() - start,
+                         genome)
+                for key in totals:
+                    totals[key] += stats[key]
+        log.info("%d total proteins out of %d features processed for %d "
+                 "genomes.", totals["proteins"], totals["features"],
+                 len(genome_ids))
+        log.info("%d annotations confirmed, %d updated, %d defaulted.",
+                 totals["confirmed"], totals["changed"],
+                 totals["defaulted"])

@@ -183,6 +183,85 @@ class Feature:
         (Feature.getUsefulRoles contract — BuildKmerProcessor.java:158)."""
         return role_map.useful_roles(self.function)
 
+    def is_interesting(self, role_map) -> bool:
+        """True when the function has at least one role in the map
+        (Feature.isInteresting — SequenceCheckProcessor.java:129)."""
+        return bool(role_map.useful_roles(self.function))
+
+    @property
+    def alias_map(self) -> dict[str, list[str]]:
+        """Aliases grouped by type (Feature.getAliasMap contract —
+        GeneCopyProcessor.java:107).  GTO alias entries are either
+        [type, value] pairs or bare strings (type inferred as 'misc')."""
+        out: dict[str, list[str]] = {}
+        for entry in self.raw.get("aliases", []) or []:
+            if isinstance(entry, (list, tuple)) and len(entry) >= 2:
+                atype, value = entry[0], entry[1]
+            else:
+                atype, value = "misc", entry
+            bucket = out.setdefault(atype, [])
+            if value not in bucket:
+                bucket.append(value)
+        return out
+
+    def add_alias(self, alias_type: str, alias: str) -> None:
+        """Append an alias (Feature.addAlias contract)."""
+        aliases = self.raw.setdefault("aliases", [])
+        entry = [alias_type, alias]
+        if entry not in aliases and alias not in aliases:
+            aliases.append(entry)
+
+    # -- protein families + gene name (Feature.setPlfam/setPgfam/
+    #    setGeneName contract — GtoBuildProcessor.java:146-148, 216, 227;
+    #    GTO family_assignments entries are [type, id, function] lists) --
+
+    def _set_family(self, fam_type: str, fam_id: str | None) -> None:
+        fams = [f for f in self.raw.get("family_assignments", [])
+                if not (isinstance(f, (list, tuple)) and f
+                        and f[0] == fam_type)]
+        if fam_id:
+            fams.append([fam_type, fam_id, self.function])
+        self.raw["family_assignments"] = fams
+
+    def _get_family(self, fam_type: str) -> str | None:
+        for f in self.raw.get("family_assignments", []):
+            if isinstance(f, (list, tuple)) and f and f[0] == fam_type:
+                return f[1]
+        return None
+
+    @property
+    def plfam(self) -> str | None:
+        return self._get_family("PLFAM")
+
+    @plfam.setter
+    def plfam(self, fam_id: str | None) -> None:
+        self._set_family("PLFAM", fam_id)
+
+    @property
+    def pgfam(self) -> str | None:
+        return self._get_family("PGFAM")
+
+    @pgfam.setter
+    def pgfam(self, fam_id: str | None) -> None:
+        self._set_family("PGFAM", fam_id)
+
+    @property
+    def gene_name(self) -> str:
+        for entry in self.raw.get("aliases", []) or []:
+            if (isinstance(entry, (list, tuple)) and len(entry) >= 2
+                    and entry[0] == "gene_name"):
+                return entry[1]
+        return ""
+
+    @gene_name.setter
+    def gene_name(self, name: str) -> None:
+        aliases = [a for a in self.raw.get("aliases", []) or []
+                   if not (isinstance(a, (list, tuple)) and a
+                           and a[0] == "gene_name")]
+        if name:
+            aliases.append(["gene_name", name])
+        self.raw["aliases"] = aliases
+
     @staticmethod
     def genome_of(fid: str) -> str:
         m = _FID_GENOME_RE.match(fid)

@@ -165,6 +165,7 @@ class FunctionMap:
 
     def __init__(self) -> None:
         self._by_norm: dict[str, Function] = {}
+        self._by_id: dict[str, Function] = {}
         self._ids: set[str] = set()
 
     def find_or_insert(self, name: str) -> Function:
@@ -174,10 +175,18 @@ class FunctionMap:
             fun = Function(magic_id(name, self._ids), name)
             self._ids.add(fun.id)
             self._by_norm[norm] = fun
+            self._by_id[fun.id] = fun
         return fun
 
     def get_by_name(self, name: str) -> Function | None:
         return self._by_norm.get(normalize_role(name))
+
+    def get_by_id(self, fun_id: str) -> Function | None:
+        return self._by_id.get(fun_id)
+
+    def get_name(self, fun_id: str) -> str:
+        fun = self._by_id.get(fun_id)
+        return fun.name if fun else ""
 
     def __len__(self) -> int:
         return len(self._by_norm)
