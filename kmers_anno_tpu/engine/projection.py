@@ -313,47 +313,65 @@ class ProjectionAnnotator:
         group_starts = np.concatenate([[0], boundary + 1])
         group_ends = np.concatenate([boundary + 1, [len(order)]])
 
-        pegs_found = low_kmer = too_short = proposal_count = 0
-        for gs, ge in zip(group_starts, group_ends):
-            rows = order[gs:ge]
-            peg = pegs[g_peg[gs]]
-            pegs_found += 1
-            peg_len = peg.protein_length * 3
-            max_len = int(peg_len * self.max_fuzz + 1)
-            min_len = int(peg_len * self.min_fuzz)
-            min_kmers = int(peg_len * (self.min_strength / 3))
-            size = len(rows)
-            if min_kmers > size:
-                low_kmer += 1
-                continue
-            cids = l_contig[rows]
-            lefts = l_left[rows]
-            rights = l_right[rows]
-            strand = "+" if l_strand[rows[0]] == 0 else "-"
-            # rows are sorted by (contig, left) within the group — the
-            # SortedLocationList order (right ties impossible: fixed span)
-            n = size - min_kmers
-            for i in range(n + 1):
-                same = cids == cids[i]
-                later = np.arange(size) > i
-                max_edge = lefts[i] + max_len
-                min_edge = lefts[i] + min_len
-                window = same & later & (rights < max_edge)
-                evidence = 1 + int(window.sum())
-                best_edge = int(max(rights[i],
-                                    rights[window].max()
-                                    if window.any() else 0))
-                if best_edge < min_edge:
-                    too_short += 1
-                    continue
-                whole = Location(index.contig_ids[int(cids[i])], strand,
-                                 int(lefts[i]), best_edge)
-                found = proposals.propose(whole, peg.function, evidence)
-                if found is not None and self.trace_function == peg.function:
-                    log.info("Proposal stored using %s at location %s with "
-                             "evidence %d and strength %s.", peg.id, whole,
-                             evidence, found.strength)
-                proposal_count += 1
+        # ---- vectorized window scan (Q6, KmerProcessor.java:240-254) ----
+        # Group rows are sorted by (contig, left) and every location spans
+        # exactly 3K-1 bases, so within a (group, contig) run the rights are
+        # monotone: each start's evidence window [i+1, ub) is contiguous and
+        # ub comes from ONE global searchsorted, its best edge is rights[ub-1].
+        # This turns the reference's O(n^2) per-frame scan into O(n log n)
+        # over all groups at once, preserving candidate order exactly.
+        m = len(order)
+        s_contig = l_contig[order]
+        s_left = l_left[order].astype(np.int64)
+        s_right = l_right[order].astype(np.int64)
+        group_id = np.zeros(m, np.int64)
+        group_id[group_starts[1:]] = 1
+        group_id = np.cumsum(group_id)
+        run_first = np.ones(m, bool)
+        run_first[1:] = ((group_id[1:] != group_id[:-1])
+                         | (s_contig[1:] != s_contig[:-1]))
+        run_id = np.cumsum(run_first) - 1
+
+        n_groups = len(group_starts)
+        sizes = group_ends - group_starts
+        peg_lens = np.fromiter(
+            (pegs[g_peg[gs]].protein_length * 3 for gs in group_starts),
+            np.int64, n_groups)
+        max_lens = (peg_lens * self.max_fuzz + 1).astype(np.int64)
+        min_lens = (peg_lens * self.min_fuzz).astype(np.int64)
+        min_kmers = (peg_lens * (self.min_strength / 3)).astype(np.int64)
+        group_ok = min_kmers <= sizes
+        pegs_found = n_groups
+        low_kmer = int((~group_ok).sum())
+
+        # per-element candidacy: i_local <= size - min_kmers, group viable
+        i_local = np.arange(m) - np.repeat(group_starts, sizes)
+        cand = group_ok[group_id] & (
+            i_local <= (sizes - min_kmers)[group_id])
+        # segmented searchsorted via run-offset keys (contig edges < 2^34)
+        OFF = np.int64(1) << 40
+        keys = run_id * OFF + s_right
+        max_edge = s_left + max_lens[group_id]
+        ub = np.searchsorted(keys, run_id * OFF + max_edge, side="left")
+        evidence_v = np.maximum(ub - np.arange(m) - 1, 0) + 1
+        best_edge_v = s_right[np.maximum(ub - 1, np.arange(m))]
+        min_edge = s_left + min_lens[group_id]
+        short = cand & (best_edge_v < min_edge)
+        too_short = int(short.sum())
+        live = np.flatnonzero(cand & ~short)
+
+        proposal_count = len(live)
+        for gi in live:
+            peg = pegs[g_peg[group_starts[group_id[gi]]]]
+            strand = "+" if l_strand[order[gi]] == 0 else "-"
+            whole = Location(index.contig_ids[int(s_contig[gi])], strand,
+                             int(s_left[gi]), int(best_edge_v[gi]))
+            found = proposals.propose(whole, peg.function,
+                                      int(evidence_v[gi]))
+            if found is not None and self.trace_function == peg.function:
+                log.info("Proposal stored using %s at location %s with "
+                         "evidence %d and strength %s.", peg.id, whole,
+                         int(evidence_v[gi]), found.strength)
         log.info("%d peg/frame pairs examined, %d had too few kmers, "
                  "%d were too short, %d proposals were made.",
                  pegs_found, low_kmer, too_short, proposal_count)

@@ -42,6 +42,7 @@ class Contig:
 
     def __init__(self, raw: dict):
         self.raw = raw
+        self._seq_lower: str | None = None
 
     @property
     def id(self) -> str:
@@ -50,6 +51,13 @@ class Contig:
     @property
     def sequence(self) -> str:
         return self.raw.get("dna", "")
+
+    @property
+    def seq_lower(self) -> str:
+        """Lower-cased sequence, cached (hot in Location.extend scans)."""
+        if self._seq_lower is None:
+            self._seq_lower = self.sequence.lower()
+        return self._seq_lower
 
     @property
     def r_sequence(self) -> str:

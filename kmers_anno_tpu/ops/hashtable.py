@@ -66,40 +66,52 @@ def build_table(key_lo, key_hi, values, n_buckets: int | None = None,
     if n > n_buckets * BUCKET:
         raise ValueError(f"{n} keys do not fit {n_buckets}x{BUCKET} slots")
     mask = np.uint32(n_buckets - 1)
+    flat_lo = np.full(n_buckets * BUCKET, EMPTY, np.uint32)
+    flat_hi = np.full(n_buckets * BUCKET, EMPTY, np.uint32)
+    flat_val = np.zeros(n_buckets * BUCKET, np.uint32)
+    walk_max = 0
 
-    table = np.empty((n_buckets, 3 * BUCKET), np.uint32)
-    table[:, 0 * BUCKET: 1 * BUCKET] = EMPTY
-    table[:, 1 * BUCKET: 2 * BUCKET] = EMPTY
-    table[:, 2 * BUCKET: 3 * BUCKET] = 0
-    counts = np.zeros(n_buckets, np.int64)
+    if n:
+        # Greedy placement for keys sorted by home bucket equals consecutive
+        # slot fill: pos[k] = max(pos[k-1] + 1, 8*home[k]), a running
+        # maximum — one argsort + one maximum.accumulate instead of a
+        # round-by-round walk.  The probe invariant holds: a key landing in
+        # bucket B > home implies every bucket home..B-1 was already full.
+        home = (mix_kmer(key_lo, key_hi, np) & mask).astype(np.int64)
+        order = np.argsort(home, kind="stable")
+        hb = home[order]
+        ar = np.arange(n, dtype=np.int64)
+        pos = ar + np.maximum.accumulate(hb * BUCKET - ar)
+        ok = pos < n_buckets * BUCKET
+        # pos is strictly increasing: these are sequential (sorted) writes
+        flat_lo[pos[ok]] = key_lo[order[ok]]
+        flat_hi[pos[ok]] = key_hi[order[ok]]
+        flat_val[pos[ok]] = values[order[ok]]
+        walk_max = int((pos[ok] // BUCKET - hb[ok]).max(initial=0))
 
-    b = (mix_kmer(key_lo, key_hi, np) & mask).astype(np.int64)
-    pending = np.arange(n)
-    rounds = 0
-    while len(pending):
-        rounds += 1
-        order = np.argsort(b[pending], kind="stable")
-        p = pending[order]
-        pb = b[p]
-        # rank of each key within its bucket this round
-        first = np.empty(len(p), bool)
-        first[0] = True
-        first[1:] = pb[1:] != pb[:-1]
-        seg_start = np.maximum.accumulate(
-            np.where(first, np.arange(len(p)), 0))
-        rank = np.arange(len(p)) - seg_start
-        slot = counts[pb] + rank
-        ok = slot < BUCKET
-        placed, pslot, pbuck = p[ok], slot[ok], pb[ok]
-        table[pbuck, pslot] = key_lo[placed]
-        table[pbuck, BUCKET + pslot] = key_hi[placed]
-        table[pbuck, 2 * BUCKET + pslot] = values[placed]
-        counts += np.bincount(pbuck, minlength=n_buckets)
-        pending = p[~ok]
-        b[pending] = (b[pending] + 1) & mask
-        if rounds > n_buckets:
-            raise RuntimeError("bucketed build failed to converge")
-    return table, max(rounds, 1)
+        spill = np.flatnonzero(~ok)
+        if len(spill):
+            # Rare wraparound tail: these keys walked past the last bucket
+            # (provably full through the end); continue from bucket 0.
+            counts = np.bincount(pos[ok] // BUCKET, minlength=n_buckets)
+            for k in spill:  # already in pos order
+                bb = 0
+                while counts[bb] >= BUCKET:
+                    bb += 1
+                    if bb >= n_buckets:
+                        raise RuntimeError("bucketed table is over-full")
+                i = order[k]
+                p = bb * BUCKET + counts[bb]
+                flat_lo[p] = key_lo[i]
+                flat_hi[p] = key_hi[i]
+                flat_val[p] = values[i]
+                counts[bb] += 1
+                walk_max = max(walk_max, n_buckets - int(hb[k]) + bb)
+
+    table = np.concatenate([flat_lo.reshape(n_buckets, BUCKET),
+                            flat_hi.reshape(n_buckets, BUCKET),
+                            flat_val.reshape(n_buckets, BUCKET)], axis=1)
+    return np.ascontiguousarray(table), walk_max + 1
 
 
 @partial(jax.jit, static_argnames=("max_probes",))
