@@ -5,12 +5,14 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 from ..engine.apply_engine import KmerApplyEngine
 from ..engine.signature import SignatureTable
-from ..genome.gto import GenomeDirectory
+from ..genome.gto import Genome, GenomeDirectory
 from ..reports.apply_reports import ApplyKmerReporter
+from ..utils.prefetch import prefetch_map
 from .base import BaseProcessor, ParseFailureException
 
 log = logging.getLogger(__name__)
@@ -56,10 +58,17 @@ class ApplyKmerProcessor(BaseProcessor):
             engine = KmerApplyEngine(signatures, min_hits=self.min_hits)
             genomes = GenomeDirectory(self.inDir)
             log.info("%d genomes found in input directory.", len(genomes))
-            for genome in genomes:
+
+            def load(name: str):
+                genome = Genome.load(os.path.join(self.inDir, name))
+                return genome, engine.prepare(genome)
+
+            # host load+encode of genome i+1 overlaps the device step of
+            # genome i (Prefetcher keeps input order)
+            for genome, (pegs, batch) in prefetch_map(genomes.files, load):
                 log.info("Processing genome %s.", genome)
                 reporter.open_genome(genome)
-                for feat, role, count in engine.call_genome(genome):
+                for feat, role, count in engine.call_prepared(pegs, batch):
                     reporter.record_feature(feat, role, count)
                 reporter.close_genome()
             reporter.close_report()

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..genome.gto import Genome, Feature
 from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import probe_table
@@ -82,11 +83,15 @@ class FlatBatch:
     def __init__(self, proteins: list[str], k: int,
                  min_tokens: int = 16384, min_seqs: int = 256):
         n = len(proteins)
-        lengths = np.fromiter((len(p) for p in proteins), np.int64, n)
-        total = int(lengths.sum())
+        total = sum(map(len, proteins))
         width = _bucket(total, min_tokens)
+        self.n_seqs = _bucket(n, min_seqs)
+        got = native.flat_batch(proteins, k, width, self.n_seqs)
+        if got is not None:  # C++ data loader (kan_host.cpp)
+            self.codes, self.seg_ids, self.valid = got
+            return
         codes = np.full(width, PROT_PAD, np.uint8)
-        seg_ids = np.full(width, _bucket(n, min_seqs), np.int32)
+        seg_ids = np.full(width, self.n_seqs, np.int32)
         valid = np.zeros(width, bool)
         pos = 0
         for i, prot in enumerate(proteins):
@@ -99,7 +104,6 @@ class FlatBatch:
         self.codes = codes
         self.seg_ids = seg_ids
         self.valid = valid
-        self.n_seqs = _bucket(n, min_seqs)
 
 
 class KmerApplyEngine:
@@ -128,11 +132,31 @@ class KmerApplyEngine:
         return [(self.role_ids[r], int(h)) if r >= 0 else None
                 for r, h in zip(role, hits)]
 
+    def prepare(self, genome: Genome
+                ) -> tuple[list[Feature], FlatBatch | None]:
+        """Host-side prep (peg selection + flat-batch encode) — GIL-light,
+        safe to run in a prefetch worker thread."""
+        pegs = [f for f in genome.pegs if f.protein_translation]
+        if not pegs:
+            return pegs, None
+        return pegs, FlatBatch([f.protein_translation for f in pegs], self.k)
+
+    def call_prepared(self, pegs: list[Feature], batch: FlatBatch | None
+                      ) -> list[tuple[Feature, str, int]]:
+        """Device step + decode on a prepared batch."""
+        if batch is None:
+            return []
+        role, hits = apply_flat(
+            self.table, jnp.asarray(batch.codes), jnp.asarray(batch.seg_ids),
+            jnp.asarray(batch.valid), jnp.int32(self.min_hits),
+            k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        role = np.asarray(role)[: len(pegs)]
+        hits = np.asarray(hits)[: len(pegs)]
+        return [(feat, self.role_ids[r], int(h))
+                for feat, r, h in zip(pegs, role, hits) if r >= 0]
+
     def call_genome(self, genome: Genome
                     ) -> list[tuple[Feature, str, int]]:
         """All called (feature, role_id, hits) triples of a genome's pegs,
         in peg order (ApplyKmerProcessor.java:122-147)."""
-        pegs = [f for f in genome.pegs if f.protein_translation]
-        calls = self.call_proteins([f.protein_translation for f in pegs])
-        return [(feat, call[0], call[1])
-                for feat, call in zip(pegs, calls) if call is not None]
+        return self.call_prepared(*self.prepare(genome))

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..genome.dna import DnaTranslator
 from ..genome.gto import Feature, Genome
 from ..genome.locations import Location
@@ -165,21 +166,26 @@ def peg_singleton_kmers(genome: Genome, k: int = 8):
     if not pegs:
         return (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
                 np.zeros(0, np.int32), pegs)
-    lengths = np.array([len(f.protein_translation) for f in pegs], np.int64)
+    proteins = [f.protein_translation for f in pegs]
+    lengths = np.array([len(p) for p in proteins], np.int64)
     total = int(lengths.sum())
     width = _bucket(total, 4096)
-    codes = np.full(width, PROT_PAD, np.uint8)
-    peg_of = np.full(width, -1, np.int32)
-    len_bcast = np.zeros(width, np.int32)
-    pos_in_seq = np.zeros(width, np.int32)
-    pos = 0
-    for i, f in enumerate(pegs):
-        ln = lengths[i]
-        codes[pos: pos + ln] = encode_protein(f.protein_translation)
-        peg_of[pos: pos + ln] = i
-        len_bcast[pos: pos + ln] = ln
-        pos_in_seq[pos: pos + ln] = np.arange(ln)
-        pos += ln
+    got = native.flat_peg_batch(proteins, width, -1)
+    if got is not None:  # C++ data loader (kan_host.cpp)
+        codes, peg_of, pos_in_seq, len_bcast = got
+    else:
+        codes = np.full(width, PROT_PAD, np.uint8)
+        peg_of = np.full(width, -1, np.int32)
+        len_bcast = np.zeros(width, np.int32)
+        pos_in_seq = np.zeros(width, np.int32)
+        pos = 0
+        for i, f in enumerate(pegs):
+            ln = lengths[i]
+            codes[pos: pos + ln] = encode_protein(f.protein_translation)
+            peg_of[pos: pos + ln] = i
+            len_bcast[pos: pos + ln] = ln
+            pos_in_seq[pos: pos + ln] = np.arange(ln)
+            pos += ln
     lo, hi, valid = _flat_kmers(jnp.asarray(codes), jnp.asarray(len_bcast),
                                 jnp.asarray(pos_in_seq), k)
     valid = np.asarray(valid)

@@ -1,0 +1,178 @@
+"""Native host runtime (C++ data loader) with transparent NumPy fallback.
+
+``kan_host.cpp`` implements the host-side hot loops — sequence encoding,
+fused flat-batch construction, FASTA parsing — as a C ABI shared library
+loaded via ctypes.  Every call releases the GIL, so Python-thread
+prefetching overlaps with device compute.  When the library is missing it
+is built on demand with g++ (one-time, ~2 s); if that fails, callers fall
+back to the pure-NumPy implementations and everything still works.
+
+Set ``KAN_NATIVE=0`` to disable the native path entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "kan_host.cpp")
+_SO = os.path.join(_DIR, "libkan_host.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as exc:
+        log.debug("native build failed: %s", exc)
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("KAN_NATIVE", "1") == "0":
+            return None
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as exc:
+            log.debug("native load failed: %s", exc)
+            return None
+        c_char_p = ctypes.c_char_p
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        lib.kan_encode_protein.argtypes = [c_char_p, i64, u8p]
+        lib.kan_encode_dna.argtypes = [c_char_p, i64, u8p]
+        lib.kan_flat_batch.argtypes = [
+            c_char_p, i64p, i64, i64, i32, i32, u8p, i32p, u8p]
+        lib.kan_flat_peg_batch.argtypes = [
+            c_char_p, i64p, i64, i64, i32, u8p, i32p, i32p, i32p]
+        lib.kan_fasta_read.restype = ctypes.c_void_p
+        lib.kan_fasta_read.argtypes = [c_char_p]
+        for fn in (lib.kan_fasta_nseq, lib.kan_fasta_seqbytes,
+                   lib.kan_fasta_hdrbytes):
+            fn.restype = i64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.kan_fasta_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, i64p, ctypes.c_char_p, i64p]
+        lib.kan_fasta_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _concat_offsets(seqs: list[str]) -> tuple[bytes, np.ndarray]:
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    return "".join(seqs).encode("ascii", errors="replace"), offsets
+
+
+def flat_batch(proteins: list[str], k: int, width: int, pad_seg: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused FlatBatch arrays (codes, seg_ids, valid) or None (no native)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    concat, offsets = _concat_offsets(proteins)
+    codes = np.empty(width, np.uint8)
+    seg_ids = np.empty(width, np.int32)
+    valid = np.empty(width, np.uint8)
+    lib.kan_flat_batch(concat, offsets, len(proteins), width, pad_seg, k,
+                       codes, seg_ids, valid)
+    return codes, seg_ids, valid.view(bool)
+
+
+def flat_peg_batch(proteins: list[str], width: int, pad_seg: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray] | None:
+    """Fused peg-singleton arrays (codes, seg_ids, pos_in_seq, len_bcast)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    concat, offsets = _concat_offsets(proteins)
+    codes = np.empty(width, np.uint8)
+    seg_ids = np.empty(width, np.int32)
+    pos_in_seq = np.empty(width, np.int32)
+    len_bcast = np.empty(width, np.int32)
+    lib.kan_flat_peg_batch(concat, offsets, len(proteins), width, pad_seg,
+                           codes, seg_ids, pos_in_seq, len_bcast)
+    return codes, seg_ids, pos_in_seq, len_bcast
+
+
+def encode_protein(s: str) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = s.encode("ascii", errors="replace")
+    out = np.empty(len(raw), np.uint8)
+    lib.kan_encode_protein(raw, len(raw), out)
+    return out
+
+
+def encode_dna(s: str) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = s.encode("ascii", errors="replace")
+    out = np.empty(len(raw), np.uint8)
+    lib.kan_encode_dna(raw, len(raw), out)
+    return out
+
+
+def read_fasta(path: str) -> list[tuple[str, str, str]] | None:
+    """Parse a FASTA file natively → [(label, comment, sequence)], or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.kan_fasta_read(path.encode())
+    if not h:
+        raise FileNotFoundError(f"cannot read FASTA file {path}")
+    try:
+        n = lib.kan_fasta_nseq(h)
+        seq = ctypes.create_string_buffer(max(1, lib.kan_fasta_seqbytes(h)))
+        hdr = ctypes.create_string_buffer(max(1, lib.kan_fasta_hdrbytes(h)))
+        offs = np.empty(n + 1, np.int64)
+        hoffs = np.empty(n + 1, np.int64)
+        lib.kan_fasta_fill(h, seq, offs, hdr, hoffs)
+    finally:
+        lib.kan_fasta_free(h)
+    sq = seq.raw
+    hd = hdr.raw
+    out = []
+    for i in range(n):
+        label, _, comment = (
+            hd[hoffs[i]: hoffs[i + 1]].decode("ascii", "replace")
+            .partition("\t"))
+        out.append((label, comment, sq[offs[i]: offs[i + 1]].decode(
+            "ascii", "replace")))
+    return out

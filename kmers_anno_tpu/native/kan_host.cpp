@@ -1,0 +1,225 @@
+// kan_host — native host-side runtime for kmers_anno_tpu.
+//
+// The TPU does the k-mer math; this library is the data loader that feeds
+// it: sequence encoding, fused flat-batch construction, and FASTA parsing.
+// The reference (SEEDtk kmers.anno) is a single-threaded Java tool whose
+// host loops are String-at-a-time (e.g. ApplyKmerProcessor.java:122-145);
+// here the host path is a single C++ pass that emits the packed integer
+// arrays the device kernels consume.  Exposed as a plain C ABI consumed
+// via ctypes (kmers_anno_tpu/native/__init__.py); every entry point is
+// GIL-free for pipeline overlap with device compute.
+//
+// Encodings mirror kmers_anno_tpu/ops/encode.py exactly:
+//   protein: 'A'..'Z' -> 0..25 (case-insensitive), '*' -> 26, other -> 27,
+//            PAD -> 31
+//   dna:     t,c,a,g -> 0,1,2,3 (u -> 0), other -> 4, PAD -> 5
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <new>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t PROT_STOP = 26;
+constexpr uint8_t PROT_OTHER = 27;
+constexpr uint8_t PROT_PAD = 31;
+constexpr uint8_t DNA_AMBIG = 4;
+
+struct Luts {
+  uint8_t prot[256];
+  uint8_t dna[256];
+  constexpr Luts() : prot(), dna() {
+    for (int i = 0; i < 256; ++i) prot[i] = PROT_OTHER;
+    for (int i = 0; i < 26; ++i) {
+      prot['A' + i] = static_cast<uint8_t>(i);
+      prot['a' + i] = static_cast<uint8_t>(i);
+    }
+    prot[static_cast<int>('*')] = PROT_STOP;
+    for (int i = 0; i < 256; ++i) dna[i] = DNA_AMBIG;
+    const char bases[] = {'t', 'c', 'a', 'g', 'u'};
+    const uint8_t codes[] = {0, 1, 2, 3, 0};
+    for (int i = 0; i < 5; ++i) {
+      dna[static_cast<int>(bases[i])] = codes[i];
+      dna[static_cast<int>(bases[i] - 32)] = codes[i];  // upper case
+    }
+  }
+};
+
+constexpr Luts kLuts;
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// encoders
+// ---------------------------------------------------------------------------
+
+void kan_encode_protein(const char* s, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = kLuts.prot[static_cast<uint8_t>(s[i])];
+}
+
+void kan_encode_dna(const char* s, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = kLuts.dna[static_cast<uint8_t>(s[i])];
+}
+
+// ---------------------------------------------------------------------------
+// fused flat-batch builder (the apply/build data loader)
+// ---------------------------------------------------------------------------
+//
+// concat:  all sequences back to back (ASCII), total length offsets[n_seqs]
+// offsets: (n_seqs + 1) int64 prefix offsets into concat
+// width:   output length; everything past offsets[n_seqs] is padding
+// pad_seg: segment id written for padding positions
+// k:       kmer size for the validity mask (a window starting at position i
+//          is valid iff it stays inside one sequence)
+// codes/seg_ids/valid: caller-allocated (width,) outputs
+//
+// Matches FlatBatch (engine/apply_engine.py): codes padded with PROT_PAD,
+// valid[i] = 1 for i in [start, start+len-k] of each sequence of len >= k.
+
+void kan_flat_batch(const char* concat, const int64_t* offsets,
+                    int64_t n_seqs, int64_t width, int32_t pad_seg,
+                    int32_t k, uint8_t* codes, int32_t* seg_ids,
+                    uint8_t* valid) {
+  const int64_t total = offsets[n_seqs];
+  for (int64_t i = 0; i < total; ++i)
+    codes[i] = kLuts.prot[static_cast<uint8_t>(concat[i])];
+  if (width > total) {
+    memset(codes + total, PROT_PAD, static_cast<size_t>(width - total));
+    memset(valid + total, 0, static_cast<size_t>(width - total));
+    for (int64_t i = total; i < width; ++i) seg_ids[i] = pad_seg;
+  }
+  for (int64_t s = 0; s < n_seqs; ++s) {
+    const int64_t lo = offsets[s], hi = offsets[s + 1], len = hi - lo;
+    for (int64_t i = lo; i < hi; ++i) seg_ids[i] = static_cast<int32_t>(s);
+    const int64_t n_valid = len >= k ? len - k + 1 : 0;
+    if (n_valid) memset(valid + lo, 1, static_cast<size_t>(n_valid));
+    if (len > n_valid)
+      memset(valid + lo + n_valid, 0, static_cast<size_t>(len - n_valid));
+  }
+}
+
+// Variant for the peg-singleton path (engine/projection.py): also emits the
+// position within each sequence and the broadcast sequence length.
+void kan_flat_peg_batch(const char* concat, const int64_t* offsets,
+                        int64_t n_seqs, int64_t width, int32_t pad_seg,
+                        uint8_t* codes, int32_t* seg_ids,
+                        int32_t* pos_in_seq, int32_t* len_bcast) {
+  const int64_t total = offsets[n_seqs];
+  for (int64_t i = 0; i < total; ++i)
+    codes[i] = kLuts.prot[static_cast<uint8_t>(concat[i])];
+  if (width > total) {
+    memset(codes + total, PROT_PAD, static_cast<size_t>(width - total));
+    for (int64_t i = total; i < width; ++i) {
+      seg_ids[i] = pad_seg;
+      pos_in_seq[i] = 0;
+      len_bcast[i] = 0;
+    }
+  }
+  for (int64_t s = 0; s < n_seqs; ++s) {
+    const int64_t lo = offsets[s], hi = offsets[s + 1];
+    const int32_t len = static_cast<int32_t>(hi - lo);
+    for (int64_t i = lo; i < hi; ++i) {
+      seg_ids[i] = static_cast<int32_t>(s);
+      pos_in_seq[i] = static_cast<int32_t>(i - lo);
+      len_bcast[i] = len;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// FASTA reader (handle-based: parse once, copy out, free)
+// ---------------------------------------------------------------------------
+//
+// Grammar per the reference's FastaInputStream contract (SURVEY.md §2b):
+// '>'<label>[ <comment>]\n sequence lines (concatenated, whitespace
+// stripped) until the next '>' or EOF.
+
+struct KanFasta {
+  std::string seq;            // all residues, concatenated
+  std::vector<int64_t> offs;  // n+1 prefix offsets into seq
+  std::string hdr;            // all "label\tcomment" strings, concatenated
+  std::vector<int64_t> hoffs; // n+1 prefix offsets into hdr
+};
+
+void* kan_fasta_read(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  const long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf;
+  buf.resize(static_cast<size_t>(sz));
+  if (sz && fread(&buf[0], 1, static_cast<size_t>(sz), f) !=
+                static_cast<size_t>(sz)) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* out = new (std::nothrow) KanFasta();
+  if (!out) return nullptr;
+  out->offs.push_back(0);
+  out->hoffs.push_back(0);
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  bool in_record = false;
+  while (p < end) {
+    if (*p == '>') {
+      if (in_record) out->offs.push_back(static_cast<int64_t>(
+          out->seq.size()));
+      ++p;
+      const char* eol = static_cast<const char*>(
+          memchr(p, '\n', static_cast<size_t>(end - p)));
+      if (!eol) eol = end;
+      const char* sp = p;
+      while (sp < eol && *sp != ' ' && *sp != '\t' && *sp != '\r') ++sp;
+      out->hdr.append(p, static_cast<size_t>(sp - p));  // label
+      out->hdr.push_back('\t');
+      const char* c = sp < eol ? sp + 1 : eol;
+      const char* ce = eol;
+      while (ce > c && (ce[-1] == '\r' || ce[-1] == ' ')) --ce;
+      if (c < ce) out->hdr.append(c, static_cast<size_t>(ce - c));
+      out->hoffs.push_back(static_cast<int64_t>(out->hdr.size()));
+      in_record = true;
+      p = eol < end ? eol + 1 : end;
+    } else {
+      const char* eol = static_cast<const char*>(
+          memchr(p, '\n', static_cast<size_t>(end - p)));
+      if (!eol) eol = end;
+      if (in_record)
+        for (const char* q = p; q < eol; ++q)
+          if (*q != '\r' && *q != ' ' && *q != '\t') out->seq.push_back(*q);
+      p = eol < end ? eol + 1 : end;
+    }
+  }
+  if (in_record) out->offs.push_back(static_cast<int64_t>(out->seq.size()));
+  return out;
+}
+
+int64_t kan_fasta_nseq(void* h) {
+  return static_cast<int64_t>(static_cast<KanFasta*>(h)->offs.size()) - 1;
+}
+int64_t kan_fasta_seqbytes(void* h) {
+  return static_cast<int64_t>(static_cast<KanFasta*>(h)->seq.size());
+}
+int64_t kan_fasta_hdrbytes(void* h) {
+  return static_cast<int64_t>(static_cast<KanFasta*>(h)->hdr.size());
+}
+void kan_fasta_fill(void* h, char* seq, int64_t* offs, char* hdr,
+                    int64_t* hoffs) {
+  auto* fa = static_cast<KanFasta*>(h);
+  memcpy(seq, fa->seq.data(), fa->seq.size());
+  memcpy(offs, fa->offs.data(), fa->offs.size() * sizeof(int64_t));
+  memcpy(hdr, fa->hdr.data(), fa->hdr.size());
+  memcpy(hoffs, fa->hoffs.data(), fa->hoffs.size() * sizeof(int64_t));
+}
+void kan_fasta_free(void* h) { delete static_cast<KanFasta*>(h); }
+
+}  // extern "C"

@@ -150,20 +150,36 @@ class Sequence:
 
 
 class FastaReader:
-    """Stream of Sequence records from a FASTA file."""
+    """Stream of Sequence records from a FASTA file.
+
+    File paths are parsed by the native C++ loader when available
+    (native/kan_host.cpp); file-like sources use the Python line parser.
+    """
 
     def __init__(self, source: str | IO):
         self._own = isinstance(source, str)
-        self._fh = open(source, "r") if self._own else source
+        self._path = source if self._own else None
+        self._fh = None if self._own else source
 
     def __enter__(self) -> "FastaReader":
         return self
 
     def __exit__(self, *exc) -> None:
-        if self._own:
+        if self._fh is not None and self._own:
             self._fh.close()
 
     def __iter__(self) -> Iterator[Sequence]:
+        if self._own:
+            from .. import native
+            records = native.read_fasta(self._path)
+            if records is not None:
+                for label, comment, seq in records:
+                    yield Sequence(label, comment, seq)
+                return
+            self._fh = open(self._path, "r")
+        yield from self._iter_lines()
+
+    def _iter_lines(self) -> Iterator[Sequence]:
         label, comment, chunks = None, "", []
         for line in self._fh:
             line = line.rstrip("\r\n")

@@ -1,0 +1,75 @@
+"""Native C++ host runtime vs the pure-NumPy fallbacks (same outputs)."""
+
+import numpy as np
+import pytest
+
+from kmers_anno_tpu import native
+from kmers_anno_tpu.ops.encode import (PROT_PAD, encode_dna, encode_protein)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+PROTS = ["MKTAYIAKQR", "ACDEFGHIKLMNPQRSTVWY", "MX*LOWerCase", "SHORT",
+         "A", "", "MKVLAAGITGRPLX"]
+
+
+def test_encoders_match():
+    for s in PROTS + ["acgtACGTnryswkmbdhvNu"]:
+        assert (native.encode_protein(s) == encode_protein(s)).all()
+    for s in ["acgtACGTnryswkmbdhvu", "tcag", ""]:
+        assert (native.encode_dna(s) == encode_dna(s)).all()
+
+
+def test_flat_batch_matches_python():
+    from kmers_anno_tpu.engine.apply_engine import FlatBatch
+    import kmers_anno_tpu.native as nat
+
+    k = 8
+    fb = FlatBatch(PROTS, k)                       # native path
+    lib, nat._lib, nat._tried = nat._lib, None, True
+    try:
+        ref = FlatBatch(PROTS, k)                  # forced Python path
+    finally:
+        nat._lib, nat._tried = lib, True
+    assert (fb.codes == ref.codes).all()
+    assert (fb.seg_ids == ref.seg_ids).all()
+    assert (fb.valid == ref.valid).all()
+    assert fb.n_seqs == ref.n_seqs
+
+
+def test_flat_peg_batch():
+    width = 64
+    got = native.flat_peg_batch(["MKTAYIAK", "QR"], width, -1)
+    assert got is not None
+    codes, seg, pos, lens = got
+    assert (codes[:8] == encode_protein("MKTAYIAK")).all()
+    assert (codes[8:10] == encode_protein("QR")).all()
+    assert (codes[10:] == PROT_PAD).all()
+    assert list(seg[:10]) == [0] * 8 + [1] * 2 and (seg[10:] == -1).all()
+    assert list(pos[:10]) == list(range(8)) + [0, 1] and (pos[10:] == 0).all()
+    assert list(lens[:10]) == [8] * 8 + [2] * 2 and (lens[10:] == 0).all()
+
+
+def test_fasta_native_matches_python(tmp_path):
+    from kmers_anno_tpu.utils.io import FastaReader
+
+    text = (">seq1 first comment here\nMKTAYI\nAKQR\n"
+            ">seq2\nACDEFG\n\n>seq3 x\nWY\n")
+    p = tmp_path / "t.fa"
+    p.write_text(text)
+    got = native.read_fasta(str(p))
+    import io as _io
+    want = [(s.label, s.comment, s.sequence)
+            for s in FastaReader(_io.StringIO(text))]
+    assert got == want
+    # and the FastaReader path-source route agrees too
+    assert [(s.label, s.comment, s.sequence)
+            for s in FastaReader(str(p))] == want
+
+
+def test_fasta_crlf_and_missing(tmp_path):
+    p = tmp_path / "crlf.fa"
+    p.write_bytes(b">a c1\r\nMKT\r\nAYI\r\n>b\r\nQR\r\n")
+    assert native.read_fasta(str(p)) == [("a", "c1", "MKTAYI"), ("b", "", "QR")]
+    with pytest.raises(FileNotFoundError):
+        native.read_fasta(str(tmp_path / "nope.fa"))
