@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 
+from .. import native
 from ..genome.gto import Genome, protein_md5
 from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import build_table, probe_table
@@ -71,19 +72,23 @@ def _distinct_kmers_flat(proteins: list[str], k: int):
     lengths = np.array([len(p) for p in proteins], np.int64)
     total = int(lengths.sum())
     width = _bucket(total, 4096)
-    codes = np.full(width, PROT_PAD, np.uint8)
-    owner = np.full(width, -1, np.int32)
-    valid = np.zeros(width, bool)
-    pos = 0
-    for i, p in enumerate(proteins):
-        ln = len(p)
-        codes[pos: pos + ln] = encode_protein(p)
-        owner[pos: pos + ln] = i
-        if ln >= k:
-            # ProteinKmers keeps ALL ln-k+1 windows (no Q1 drop, no
-            # ambiguity filter) — same contract the build/apply engines use
-            valid[pos: pos + ln - k + 1] = True
-        pos += ln
+    # ProteinKmers keeps ALL ln-k+1 windows (no Q1 drop, no ambiguity
+    # filter) — same contract the build/apply engines use
+    got = native.flat_batch(proteins, k, width, -1)
+    if got is not None:  # C++ data loader (kan_host.cpp)
+        codes, owner, valid = got
+    else:
+        codes = np.full(width, PROT_PAD, np.uint8)
+        owner = np.full(width, -1, np.int32)
+        valid = np.zeros(width, bool)
+        pos = 0
+        for i, p in enumerate(proteins):
+            ln = len(p)
+            codes[pos: pos + ln] = encode_protein(p)
+            owner[pos: pos + ln] = i
+            if ln >= k:
+                valid[pos: pos + ln - k + 1] = True
+            pos += ln
     d_lo, d_hi = _pack(jnp.asarray(codes), k)
     lo = np.asarray(d_lo)[valid]
     hi = np.asarray(d_hi)[valid]

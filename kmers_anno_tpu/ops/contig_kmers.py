@@ -65,12 +65,59 @@ def _strand_frame_kmers(dna_codes, length, k: int, lut):
     return jnp.stack(los), jnp.stack(his), jnp.stack(valids)
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas scanner on real TPUs; XLA elsewhere (KAN_PALLAS=1/0
+    overrides)."""
+    import os
+    flag = os.environ.get("KAN_PALLAS")
+    if flag in ("0", "1"):
+        return flag == "1"
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def extract_contig_kmers_fused(contig_seq: str, k: int, gc: int,
+                               interpret: bool = False):
+    """extract_contig_kmers via the fused Pallas scanner
+    (ops.pallas_contig) — identical output set, base-major order."""
+    from .pallas_contig import strand_kmers_pallas
+
+    codes = encode_dna(contig_seq)
+    length = len(codes)
+    rc_codes = np.where(codes < 4, codes ^ 2, codes)[::-1].copy()
+    out_lo, out_hi, out_left, out_strand = [], [], [], []
+    for strand, seq in ((0, codes), (1, rc_codes)):
+        lo, hi, bad = strand_kmers_pallas(seq, k, gc, interpret=interpret)
+        p = np.arange(len(lo), dtype=np.int64)
+        f = p % 3                       # 0-based frame
+        flen = (length - f) // 3        # frame protein length
+        valid = ((p // 3) < flen - k) & ~bad        # Q1 strict drop-last
+        v = np.flatnonzero(valid)
+        # KmerPosition: plus left = pos*3 + frame1 = p + 1 (Java 60-62);
+        # minus left = (L - 3K + 2) - (p + 1) (Java 78-86, Q11)
+        left = v + 1 if strand == 0 else (length - 3 * k + 1) - v
+        out_lo.append(lo[v])
+        out_hi.append(hi[v])
+        out_left.append(left.astype(np.int32))
+        out_strand.append(np.full(len(v), strand, np.int8))
+    return {
+        "lo": np.concatenate(out_lo),
+        "hi": np.concatenate(out_hi),
+        "left": np.concatenate(out_left),
+        "strand": np.concatenate(out_strand),
+    }
+
+
 def extract_contig_kmers(contig_seq: str, k: int, gc: int):
     """All valid (kmer, left, strand) tuples of one contig, both strands.
 
     returns dict with np arrays lo, hi, left (1-based), strand ('+'=0,
     '-'=1), all shape (N,).
     """
+    if _use_pallas():
+        import jax
+        return extract_contig_kmers_fused(
+            contig_seq, k, gc, interpret=jax.default_backend() == "cpu")
     codes = encode_dna(contig_seq)
     length = len(codes)
     width = _bucket_width(length)
