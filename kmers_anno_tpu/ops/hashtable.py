@@ -41,6 +41,8 @@ from .hashing import mix_kmer
 EMPTY = np.uint32(0xFFFFFFFF)
 BUCKET = 8  # slots per bucket
 
+_SCRATCH = __import__("threading").local()
+
 
 def table_size_for(n_keys: int, load_factor: float = 0.5) -> int:
     """Power-of-two bucket count targeting the given load factor."""
@@ -66,9 +68,19 @@ def build_table(key_lo, key_hi, values, n_buckets: int | None = None,
     if n > n_buckets * BUCKET:
         raise ValueError(f"{n} keys do not fit {n_buckets}x{BUCKET} slots")
     mask = np.uint32(n_buckets - 1)
-    flat_lo = np.full(n_buckets * BUCKET, EMPTY, np.uint32)
-    flat_hi = np.full(n_buckets * BUCKET, EMPTY, np.uint32)
-    flat_val = np.zeros(n_buckets * BUCKET, np.uint32)
+    # Reuse per-thread scratch planes: fresh multi-MB allocations fault in
+    # new pages on every call (hundreds of µs/page under THP defrag),
+    # dwarfing the actual build work.
+    cache = _SCRATCH.__dict__.setdefault("planes", {})
+    planes = cache.get(n_buckets)
+    if planes is None:
+        planes = tuple(np.empty(n_buckets * BUCKET, np.uint32)
+                       for _ in range(3))
+        cache[n_buckets] = planes
+    flat_lo, flat_hi, flat_val = planes
+    flat_lo.fill(EMPTY)
+    flat_hi.fill(EMPTY)
+    flat_val.fill(0)
     walk_max = 0
 
     if n:
@@ -111,7 +123,7 @@ def build_table(key_lo, key_hi, values, n_buckets: int | None = None,
     table = np.concatenate([flat_lo.reshape(n_buckets, BUCKET),
                             flat_hi.reshape(n_buckets, BUCKET),
                             flat_val.reshape(n_buckets, BUCKET)], axis=1)
-    return np.ascontiguousarray(table), walk_max + 1
+    return table, walk_max + 1
 
 
 @partial(jax.jit, static_argnames=("max_probes",))
