@@ -33,6 +33,21 @@ class ApplyKmerProcessor(BaseProcessor):
         parser.add_argument(
             "-o", "--output", metavar="outFile", default=None,
             help="report output file (default: stdout)")
+        parser.add_argument(
+            "--mesh", metavar="DATAxTABLE", default=None,
+            help="run on a device mesh, e.g. 8x1 (data-parallel, table "
+                 "replicated) or 4x2 (table hash-sharded over 2 devices "
+                 "with all_to_all-routed probes)")
+        parser.add_argument(
+            "--table-mode", default="auto",
+            choices=["auto", "replicated", "pmax", "routed"],
+            help="sharded-table merge strategy (default: routed when the "
+                 "table axis is >1)")
+        parser.add_argument(
+            "--capacity-factor", type=float, default=None, metavar="2.0",
+            help="routing-buffer slack per shard (default: provably safe "
+                 "worst case; smaller is faster but may trigger an exact "
+                 "re-run)")
         parser.add_argument("kmerDbFile", metavar="kmerdb.tbl",
                             help="discriminating kmer database")
         parser.add_argument("goodRoleFile", metavar="roles.in.use",
@@ -46,6 +61,13 @@ class ApplyKmerProcessor(BaseProcessor):
         self.require_file(self.goodRoleFile, "Roles-to-use file")
         if self.min_hits < 1:
             raise ParseFailureException("Min-hits must be positive.")
+        self.mesh_shape = None
+        if self.mesh:
+            from ..engine.mesh_apply import parse_mesh_spec
+            try:
+                self.mesh_shape = parse_mesh_spec(self.mesh)
+            except ValueError as e:
+                raise ParseFailureException(str(e))
 
     def run_command(self) -> None:
         out = open(self.output, "w") if self.output else sys.stdout
@@ -55,23 +77,53 @@ class ApplyKmerProcessor(BaseProcessor):
             log.info("Loading kmer database from %s.", self.kmerDbFile)
             signatures = SignatureTable.load(self.kmerDbFile)
             log.info("Kmer size is %d.", signatures.k)
-            engine = KmerApplyEngine(signatures, min_hits=self.min_hits)
             genomes = GenomeDirectory(self.inDir)
             log.info("%d genomes found in input directory.", len(genomes))
-
-            def load(name: str):
-                genome = Genome.load(os.path.join(self.inDir, name))
-                return genome, engine.prepare(genome)
-
-            # host load+encode of genome i+1 overlaps the device step of
-            # genome i (Prefetcher keeps input order)
-            for genome, (pegs, batch) in prefetch_map(genomes.files, load):
-                log.info("Processing genome %s.", genome)
-                reporter.open_genome(genome)
-                for feat, role, count in engine.call_prepared(pegs, batch):
-                    reporter.record_feature(feat, role, count)
-                reporter.close_genome()
+            if self.mesh_shape:
+                self._run_mesh(signatures, genomes, reporter)
+            else:
+                self._run_single(signatures, genomes, reporter)
             reporter.close_report()
         finally:
             if self.output:
                 out.close()
+
+    def _run_single(self, signatures, genomes, reporter) -> None:
+        engine = KmerApplyEngine(signatures, min_hits=self.min_hits)
+
+        def load(name: str):
+            genome = Genome.load(os.path.join(self.inDir, name))
+            return genome, engine.prepare(genome)
+
+        # host load+encode of genome i+1 overlaps the device step of
+        # genome i (Prefetcher keeps input order)
+        for genome, (pegs, batch) in prefetch_map(genomes.files, load):
+            log.info("Processing genome %s.", genome)
+            reporter.open_genome(genome)
+            for feat, role, count in engine.call_prepared(pegs, batch):
+                reporter.record_feature(feat, role, count)
+            reporter.close_genome()
+
+    def _run_mesh(self, signatures, genomes, reporter) -> None:
+        from ..engine.mesh_apply import MeshApplyEngine
+        from ..parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed()
+        n_data, n_table = self.mesh_shape
+        engine = MeshApplyEngine(
+            signatures, n_data, n_table, min_hits=self.min_hits,
+            mode=self.table_mode, capacity_factor=self.capacity_factor)
+        log.info("Mesh apply: data=%d × table=%d, %s table layout.",
+                 n_data, n_table, engine.mode)
+
+        def load(name: str):
+            return Genome.load(os.path.join(self.inDir, name))
+
+        stream = (g for g, _ in prefetch_map(genomes.files,
+                                             lambda n: (load(n), None)))
+        for genome, calls in engine.call_genomes(stream):
+            log.info("Processing genome %s.", genome)
+            reporter.open_genome(genome)
+            for feat, role, count in calls:
+                reporter.record_feature(feat, role, count)
+            reporter.close_genome()

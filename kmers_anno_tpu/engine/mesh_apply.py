@@ -1,0 +1,181 @@
+"""Multi-device signature-table annotation (the ``apply --mesh`` path).
+
+Streams genome batches across the ``data`` axis of a (data, table) mesh and
+runs one of the sharded apply steps from ``parallel.mesh``:
+
+* ``replicated`` — table copied per chip, genomes fanned over ``data``;
+* ``pmax``      — table hash-sharded over ``table``, token batch broadcast,
+                  per-position hits merged with pmax;
+* ``routed``    — table hash-sharded AND kmers routed to their owner shard
+                  with one all_to_all (§5.8 large-table mode, the default
+                  whenever the table axis is >1).
+
+Per-genome results are identical to the single-device ``KmerApplyEngine``
+(asserted by tests/test_mesh_apply.py down to report bytes).  Genomes are
+grouped into chunks of ``n_data`` consecutive rows sharing one bucketed
+shape, so XLA compiles a handful of programs per run regardless of genome
+sizes; chunk rows beyond the last genome are padding.
+
+A ``capacity_factor`` < worst-case trades routing-buffer size for a rare
+retry: the routed step reports a single overflow scalar, and an overflowed
+chunk is transparently re-run at the provably-safe capacity — results stay
+exact either way.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..genome.gto import Genome, Feature
+from ..ops.encode import PROT_PAD
+from ..parallel.mesh import (make_mesh, replicated_apply_step,
+                             routed_apply_step, shard_signature_table,
+                             sharded_apply_step, split_tokens_for_table_axis)
+from .apply_engine import FlatBatch, _bucket
+from .signature import SignatureTable
+
+log = logging.getLogger(__name__)
+
+
+def parse_mesh_spec(spec: str) -> tuple[int, int]:
+    """'DxT' → (n_data, n_table); 'D' → (D, 1)."""
+    parts = spec.lower().replace("×", "x").split("x")
+    try:
+        if len(parts) == 1:
+            return int(parts[0]), 1
+        if len(parts) == 2:
+            return int(parts[0]), int(parts[1])
+    except ValueError:
+        pass
+    raise ValueError(f"bad mesh spec {spec!r}; expected DATAxTABLE, e.g. 4x2")
+
+
+class MeshApplyEngine:
+    """Annotates genome streams on a (data, table) device mesh."""
+
+    def __init__(self, signatures: SignatureTable, n_data: int,
+                 n_table: int = 1, min_hits: int = 5, mode: str = "auto",
+                 capacity_factor: float | None = None):
+        if mode == "auto":
+            mode = "replicated" if n_table == 1 else "routed"
+        if n_table == 1 and mode != "replicated":
+            raise ValueError("sharded modes need a table axis > 1")
+        self.mode = mode
+        self.k = signatures.k
+        self.min_hits = min_hits
+        self.n_data = n_data
+        self.n_table = n_table
+        self.capacity_factor = capacity_factor
+        self.role_ids = signatures.role_ids
+        self.mesh = make_mesh(n_data, n_table)
+        if mode == "replicated":
+            self.table, self.max_probes = signatures.device_table()
+        else:
+            tables, self.max_probes = shard_signature_table(
+                signatures.key_lo, signatures.key_hi, signatures.role_idx,
+                n_table)
+            self.table = jnp.asarray(tables)
+        self._steps: dict = {}
+
+    # ----- step-compile cache (keyed on static shape args) -----
+
+    def _step(self, n_seqs: int, capacity: int | None):
+        key = (self.mode, n_seqs, capacity)
+        fn = self._steps.get(key)
+        if fn is None:
+            if self.mode == "replicated":
+                fn = replicated_apply_step(
+                    self.mesh, k=self.k, max_probes=self.max_probes,
+                    n_seqs=n_seqs)
+            elif self.mode == "pmax":
+                fn = sharded_apply_step(
+                    self.mesh, k=self.k, max_probes=self.max_probes,
+                    n_seqs=n_seqs)
+            else:
+                fn = routed_apply_step(
+                    self.mesh, k=self.k, max_probes=self.max_probes,
+                    n_seqs=n_seqs, capacity=capacity)
+            self._steps[key] = fn
+        return fn
+
+    # ----- one chunk of ≤ n_data genomes -----
+
+    def _run_chunk(self, chunk: list[tuple[Genome, list[Feature]]]
+                   ) -> list[list[tuple[Feature, str, int]]]:
+        prots = [[f.protein_translation for f in pegs]
+                 for _, pegs in chunk]
+        width = _bucket(max((sum(map(len, p)) for p in prots), default=1),
+                        16384)
+        n_seqs = _bucket(max((len(p) for p in prots), default=1), 256)
+        batches = [FlatBatch(p, self.k, min_tokens=width, min_seqs=n_seqs)
+                   for p in prots]
+        codes = np.full((self.n_data, width), PROT_PAD, np.uint8)
+        seg_ids = np.full((self.n_data, width), n_seqs, np.int32)
+        valid = np.zeros((self.n_data, width), bool)
+        for i, b in enumerate(batches):
+            codes[i], seg_ids[i], valid[i] = b.codes, b.seg_ids, b.valid
+
+        if self.mode == "routed":
+            roles, hits = self._run_routed(codes, seg_ids, valid, n_seqs)
+        else:
+            step = self._step(n_seqs, None)
+            r, h = step(self.table, jnp.asarray(codes),
+                        jnp.asarray(seg_ids), jnp.asarray(valid),
+                        jnp.int32(self.min_hits))
+            roles, hits = np.asarray(r), np.asarray(h)
+
+        out = []
+        for i, (_, pegs) in enumerate(chunk):
+            out.append([(feat, self.role_ids[r], int(h))
+                        for feat, r, h in zip(pegs, roles[i], hits[i])
+                        if r >= 0])
+        return out
+
+    def _run_routed(self, codes, seg_ids, valid, n_seqs):
+        rows = [split_tokens_for_table_axis(
+                    codes[i], seg_ids[i], valid[i], self.n_table, self.k,
+                    n_seqs, PROT_PAD)
+                for i in range(self.n_data)]
+        sc = jnp.asarray(np.stack([r[0] for r in rows]))
+        ss = jnp.asarray(np.stack([r[1] for r in rows]))
+        sv = jnp.asarray(np.stack([r[2] for r in rows]))
+        tc = sc.shape[-1]
+        capacity = None
+        if self.capacity_factor is not None:
+            capacity = min(tc, int(np.ceil(
+                tc / self.n_table * self.capacity_factor)))
+        step = self._step(n_seqs, capacity)
+        r, h, ovf = step(self.table, sc, ss, sv, jnp.int32(self.min_hits))
+        if capacity is not None and int(ovf):
+            log.info("Routing capacity %d overflowed; re-running chunk at "
+                     "the safe bound %d.", capacity, tc)
+            r, h, ovf = self._step(n_seqs, None)(
+                self.table, sc, ss, sv, jnp.int32(self.min_hits))
+        assert int(ovf) == 0
+        return np.asarray(r), np.asarray(h)
+
+    # ----- streaming driver -----
+
+    def call_genomes(self, genomes: Iterable[Genome]
+                     ) -> Iterator[tuple[Genome, list]]:
+        """Yield (genome, [(feature, role_id, hits), …]) in input order,
+        grouping ``n_data`` genomes per device step."""
+        chunk: list[tuple[Genome, list[Feature]]] = []
+
+        def flush():
+            if not chunk:
+                return
+            for (genome, _), calls in zip(chunk, self._run_chunk(chunk)):
+                yield genome, calls
+            chunk.clear()
+
+        for genome in genomes:
+            pegs = [f for f in genome.pegs if f.protein_translation]
+            chunk.append((genome, pegs))
+            if len(chunk) == self.n_data:
+                yield from flush()
+        yield from flush()
