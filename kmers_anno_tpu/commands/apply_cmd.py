@@ -48,6 +48,10 @@ class ApplyKmerProcessor(BaseProcessor):
             help="routing-buffer slack per shard (default: provably safe "
                  "worst case; smaller is faster but may trigger an exact "
                  "re-run)")
+        parser.add_argument(
+            "--max-gap", type=int, default=500, metavar="500",
+            help="DNA mode: max window-start gap between same-role hits "
+                 "merged into one called region (default 500)")
         parser.add_argument("kmerDbFile", metavar="kmerdb.tbl",
                             help="discriminating kmer database")
         parser.add_argument("goodRoleFile", metavar="roles.in.use",
@@ -79,7 +83,14 @@ class ApplyKmerProcessor(BaseProcessor):
             log.info("Kmer size is %d.", signatures.k)
             genomes = GenomeDirectory(self.inDir)
             log.info("%d genomes found in input directory.", len(genomes))
-            if self.mesh_shape:
+            if signatures.alphabet == "dna":
+                if self.mesh_shape:
+                    raise ParseFailureException(
+                        "--mesh is not yet supported for DNA-mode tables")
+                log.info("DNA-mode table detected: annotating raw contigs "
+                         "on both strands.")
+                self._run_dna(signatures, genomes, reporter)
+            elif self.mesh_shape:
                 self._run_mesh(signatures, genomes, reporter)
             else:
                 self._run_single(signatures, genomes, reporter)
@@ -101,6 +112,23 @@ class ApplyKmerProcessor(BaseProcessor):
             log.info("Processing genome %s.", genome)
             reporter.open_genome(genome)
             for feat, role, count in engine.call_prepared(pegs, batch):
+                reporter.record_feature(feat, role, count)
+            reporter.close_genome()
+
+    def _run_dna(self, signatures, genomes, reporter) -> None:
+        from ..engine.dna_apply import DnaApplyEngine
+
+        engine = DnaApplyEngine(signatures, min_hits=self.min_hits,
+                                max_gap=self.max_gap)
+
+        def load(name: str):
+            genome = Genome.load(os.path.join(self.inDir, name))
+            return genome, engine.prepare(genome)
+
+        for genome, batch in prefetch_map(genomes.files, load):
+            log.info("Processing genome %s.", genome)
+            reporter.open_genome(genome)
+            for feat, role, count in engine.call_prepared(genome, batch):
                 reporter.record_feature(feat, role, count)
             reporter.close_genome()
 

@@ -22,8 +22,12 @@ class BuildKmerProcessor(BaseProcessor):
             "-g", "--genomes", metavar="genomeFile.tbl", default=None,
             help="file of acceptable genome IDs (first column)")
         parser.add_argument(
-            "-K", "--kmer", type=int, default=8, metavar="10",
-            help="protein kmer length (default 8)")
+            "-K", "--kmer", type=int, default=None, metavar="10",
+            help="kmer length (default 8 for protein, 15 for --dna)")
+        parser.add_argument(
+            "--dna", action="store_true",
+            help="build nucleotide kmers from coding-strand CDS DNA "
+                 "instead of protein kmers (north-star DNA mode)")
         parser.add_argument(
             "-o", "--output", metavar="kmerdb.tbl", default=None,
             help="output file for the kmer database (default: stdout)")
@@ -35,9 +39,14 @@ class BuildKmerProcessor(BaseProcessor):
                             help="input genome directory")
 
     def validate_parms(self) -> None:
-        if self.kmer < 3 or self.kmer > 12:
+        self.alphabet = "dna" if self.dna else "prot"
+        if self.kmer is None:
+            self.kmer = 15 if self.dna else 8
+        lo_k, hi_k = (4, 15) if self.dna else (3, 12)
+        if self.kmer < lo_k or self.kmer > hi_k:
             raise ParseFailureException(
-                f"kmer size {self.kmer} out of supported range 3..12")
+                f"kmer size {self.kmer} out of supported "
+                f"{self.alphabet} range {lo_k}..{hi_k}")
         self.require_file(self.roleMapFile, "Role definition file")
         self.require_file(self.roleIdFile, "Good-role file")
         self.require_dir(self.gtoDir, "Genome directory")
@@ -54,7 +63,7 @@ class BuildKmerProcessor(BaseProcessor):
         genomes = GenomeDirectory(self.gtoDir)
         table = build_signatures(
             genomes, self.role_map, self.good_roles, k=self.kmer,
-            genome_filter=self.genome_filter)
+            genome_filter=self.genome_filter, alphabet=self.alphabet)
         if self.output:
             table.save(self.output)
         else:

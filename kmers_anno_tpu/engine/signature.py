@@ -39,7 +39,10 @@ import numpy as np
 
 from ..genome.gto import Genome
 from ..genome.roles import RoleMap
-from ..ops.encode import encode_protein, decode_protein
+from ..ops.dna_kmers import (DNA_MAX_K, DNA_MIN_K, pack_dna_np,
+                             unpack_dna_np)
+from ..ops.encode import (decode_dna, decode_protein, encode_dna,
+                          encode_protein)
 from ..ops.hashtable import EMPTY, build_table, probe_table, table_size_for
 from ..utils.counters import CountMap
 
@@ -143,13 +146,20 @@ def _dedup_pairs(lo: np.ndarray, hi: np.ndarray,
 
 @dataclass
 class SignatureTable:
-    """A built discriminating-kmer table: packed keys + role indices."""
+    """A built discriminating-kmer table: packed keys + role indices.
+
+    ``alphabet`` selects the key packing: "prot" = 5-bit protein codes
+    (ops.kmers, k ≤ 12), "dna" = 2-bit nucleotide codes with a marker bit
+    (ops.dna_kmers, k ≤ 15).  Both produce (lo, hi) uint32 pairs served by
+    the same bucketed device table.
+    """
 
     k: int
     key_lo: np.ndarray          # (N,) uint32
     key_hi: np.ndarray          # (N,) uint32
     role_idx: np.ndarray        # (N,) int32 — index into role_ids
     role_ids: list[str]         # role index → role ID string
+    alphabet: str = "prot"      # "prot" | "dna"
     stats: dict = field(default_factory=dict)
 
     def __len__(self) -> int:
@@ -158,6 +168,9 @@ class SignatureTable:
     # ----- text round-trip (the reference interchange format) -----
 
     def kmer_texts(self) -> list[str]:
+        if self.alphabet == "dna":
+            codes = unpack_dna_np(self.key_lo, self.key_hi, self.k)
+            return [decode_dna(row) for row in codes]
         codes = unpack_kmer_np(self.key_lo, self.key_hi, self.k)
         return [decode_protein(row) for row in codes]
 
@@ -172,9 +185,16 @@ class SignatureTable:
                 fh.close()
 
     @classmethod
-    def load(cls, source: str | IO) -> "SignatureTable":
+    def load(cls, source: str | IO,
+             alphabet: str | None = None) -> "SignatureTable":
         """Load a kmer DB TSV; K is inferred from the kmer text length
-        (ApplyKmerProcessor.java:108)."""
+        (ApplyKmerProcessor.java:108).
+
+        ``alphabet`` None = auto-detect: kmer texts that are entirely
+        lowercase acgtu are DNA (GTO contig DNA is lowercase; protein
+        kmers are uppercase), everything else is protein.  Pass "prot" or
+        "dna" to force.
+        """
         fh = open(source, "r") if isinstance(source, str) else source
         try:
             kmers: list[str] = []
@@ -198,13 +218,26 @@ class SignatureTable:
         if not kmers:
             raise ValueError("empty kmer database")
         k = len(kmers[0])
+        if alphabet is None:
+            dna_chars = set("acgtu")
+            alphabet = ("dna" if all(set(km) <= dna_chars for km in kmers)
+                        else "prot")
         lo = np.zeros(len(kmers), np.uint32)
         hi = np.zeros(len(kmers), np.uint32)
-        for i, km in enumerate(kmers):
-            klo, khi = pack_kmers_np(encode_protein(km), k)
-            lo[i], hi[i] = klo[0], khi[0]
+        if alphabet == "dna":
+            for i, km in enumerate(kmers):
+                codes = encode_dna(km)
+                if (codes >= 4).any():
+                    raise ValueError(f"ambiguous base in DNA kmer {km!r}")
+                klo, khi = pack_dna_np(codes, k)
+                lo[i], hi[i] = klo[0], khi[0]
+        else:
+            for i, km in enumerate(kmers):
+                klo, khi = pack_kmers_np(encode_protein(km), k)
+                lo[i], hi[i] = klo[0], khi[0]
         return cls(k=k, key_lo=lo, key_hi=hi,
-                   role_idx=np.asarray(ridx, np.int32), role_ids=role_ids)
+                   role_idx=np.asarray(ridx, np.int32), role_ids=role_ids,
+                   alphabet=alphabet)
 
     # ----- device packing -----
 
@@ -230,16 +263,44 @@ class SignatureTable:
 # the build pipeline
 # ---------------------------------------------------------------------------
 
+def _peg_keys(genome: Genome, peg, k: int, alphabet: str
+              ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Packed kmer keys of one peg in the requested alphabet, or None when
+    the peg has no usable sequence.  Protein mode packs every window of the
+    translation; DNA mode packs the unambiguous windows of the coding-strand
+    CDS DNA (apply scans both strands, so genes on either strand are found
+    without storing reverse complements)."""
+    if alphabet == "dna":
+        loc = peg.location
+        if loc is None:
+            return None
+        dna = genome.get_dna(loc)
+        if len(dna) < k:
+            return None
+        from ..ops.dna_kmers import dna_valid_np
+        codes = encode_dna(dna)
+        lo, hi = pack_dna_np(codes, k)
+        ok = dna_valid_np(codes, k)
+        return lo[ok], hi[ok]
+    prot = peg.protein_translation
+    if not prot or len(prot) < k:
+        return None
+    return pack_kmers_np(encode_protein(prot), k)
+
+
 def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
                      good_roles: Sequence[str], k: int = 8,
                      genome_filter: set[str] | None = None,
-                     progress: bool = True) -> SignatureTable:
+                     progress: bool = True,
+                     alphabet: str = "prot") -> SignatureTable:
     """Build the discriminating-kmer table (``build`` command semantics).
 
     genomes:       iterable of Genome (one pass; streaming-friendly)
     role_map:      role definitions (roles.in.subsystems)
     good_roles:    interesting role IDs (roles.to.use column 1)
     genome_filter: optional set of genome IDs to process (-g option)
+    alphabet:      "prot" (reference semantics) or "dna" (north-star
+                   config 3: nucleotide kmers from CDS DNA)
     """
     good = set(good_roles)
     role_ids: list[str] = []
@@ -263,14 +324,14 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
         n_interesting = 0
         n_buffered = 0
         for peg in genome.pegs:
-            prot = peg.protein_translation
-            if not prot or len(prot) < k:
+            keys = _peg_keys(genome, peg, k, alphabet)
+            if keys is None:
                 continue
             peg_roles = [r for r in peg.get_useful_roles(role_map)
                          if r.id in good]
             if not peg_roles:
                 # kill-list protein (BuildKmerProcessor.java:160-164)
-                lo, hi = pack_kmers_np(encode_protein(prot), k)
+                lo, hi = keys
                 gk_lo.append(lo)
                 gk_hi.append(hi)
                 n_buffered += 1
@@ -281,7 +342,7 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
                 if ridx is None:
                     ridx = role_index[rid] = len(role_ids)
                     role_ids.append(rid)
-                lo, hi = pack_kmers_np(encode_protein(prot), k)
+                lo, hi = keys
                 g_lo.append(lo)
                 g_hi.append(hi)
                 g_role.append(np.full(len(lo), ridx, np.int32))
@@ -307,7 +368,7 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
         return SignatureTable(k=k, key_lo=np.zeros(0, np.uint32),
                               key_hi=np.zeros(0, np.uint32),
                               role_idx=np.zeros(0, np.int32),
-                              role_ids=role_ids,
+                              role_ids=role_ids, alphabet=alphabet,
                               stats={"buffered": buffered})
 
     lo = np.concatenate(cand_lo)
@@ -342,6 +403,7 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
 
     table = SignatureTable(
         k=k, key_lo=slo, key_hi=shi, role_idx=srole, role_ids=role_ids,
+        alphabet=alphabet,
         stats={"buffered": buffered, "pruned": int(n_pruned),
                "killed": n_killed})
     counts = table.role_counts()
