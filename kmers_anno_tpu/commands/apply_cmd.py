@@ -52,6 +52,15 @@ class ApplyKmerProcessor(BaseProcessor):
             "--max-gap", type=int, default=500, metavar="500",
             help="DNA mode: max window-start gap between same-role hits "
                  "merged into one called region (default 500)")
+        parser.add_argument(
+            "--weighted", action="store_true",
+            help="weighted best-tally voting instead of reference "
+                 "unanimity; uses the table's weight column (1.0 when "
+                 "absent)")
+        parser.add_argument(
+            "--min-weight", type=float, default=None, metavar="5.0",
+            help="minimum winning tally to call a role in --weighted "
+                 "mode (default: the -m value)")
         parser.add_argument("kmerDbFile", metavar="kmerdb.tbl",
                             help="discriminating kmer database")
         parser.add_argument("goodRoleFile", metavar="roles.in.use",
@@ -83,6 +92,11 @@ class ApplyKmerProcessor(BaseProcessor):
             log.info("Kmer size is %d.", signatures.k)
             genomes = GenomeDirectory(self.inDir)
             log.info("%d genomes found in input directory.", len(genomes))
+            if self.weighted and (self.mesh_shape or
+                                  signatures.alphabet == "dna"):
+                raise ParseFailureException(
+                    "--weighted currently supports the single-device "
+                    "protein path only")
             if signatures.alphabet == "dna":
                 if self.mesh_shape:
                     raise ParseFailureException(
@@ -100,7 +114,9 @@ class ApplyKmerProcessor(BaseProcessor):
                 out.close()
 
     def _run_single(self, signatures, genomes, reporter) -> None:
-        engine = KmerApplyEngine(signatures, min_hits=self.min_hits)
+        engine = KmerApplyEngine(signatures, min_hits=self.min_hits,
+                                 weighted=self.weighted,
+                                 min_weight=self.min_weight)
 
         def load(name: str):
             genome = Genome.load(os.path.join(self.inDir, name))

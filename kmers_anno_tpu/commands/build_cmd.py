@@ -29,6 +29,12 @@ class BuildKmerProcessor(BaseProcessor):
             help="build nucleotide kmers from coding-strand CDS DNA "
                  "instead of protein kmers (north-star DNA mode)")
         parser.add_argument(
+            "--weights", default="none",
+            choices=["none", "uniform", "balance"],
+            help="emit a per-kmer weight column for weighted voting: "
+                 "uniform=1.0, balance=equal total mass per role "
+                 "(default none: reference-exact table)")
+        parser.add_argument(
             "-o", "--output", metavar="kmerdb.tbl", default=None,
             help="output file for the kmer database (default: stdout)")
         parser.add_argument("roleMapFile", metavar="roles.in.subsystems",
@@ -63,7 +69,8 @@ class BuildKmerProcessor(BaseProcessor):
         genomes = GenomeDirectory(self.gtoDir)
         table = build_signatures(
             genomes, self.role_map, self.good_roles, k=self.kmer,
-            genome_filter=self.genome_filter, alphabet=self.alphabet)
+            genome_filter=self.genome_filter, alphabet=self.alphabet,
+            weight_mode=self.weights)
         if self.output:
             table.save(self.output)
         else:

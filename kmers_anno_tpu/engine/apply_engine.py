@@ -33,6 +33,7 @@ from ..genome.gto import Genome, Feature
 from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import probe_table
 from ..ops.kmers import pack_kmer_windows
+from ..ops.vote import split_packed_payload, weighted_vote_flat
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -75,6 +76,19 @@ def apply_flat(table, codes, seg_ids, valid, min_hits, *,
     return jnp.where(called, rmax, -1), jnp.where(called, n_hits, 0)
 
 
+@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs"))
+def apply_weighted_flat(table, codes, seg_ids, valid, min_weight, *,
+                        k: int, max_probes: int, n_seqs: int):
+    """Weighted-vote apply step (north-star config 2): same pack + probe
+    as apply_flat, but payloads carry packed (weight, role) and the vote
+    is a best-tally reduction instead of unanimity (ops.vote)."""
+    lo, hi = pack_kmer_windows(codes, k)
+    val = probe_table(table, lo, hi, valid, max_probes)
+    roles, weights = split_packed_payload(val)
+    return weighted_vote_flat(roles, weights, seg_ids, valid, min_weight,
+                              n_seqs=n_seqs)
+
+
 class FlatBatch:
     """A flat token-stream batch of protein sequences (host side)."""
 
@@ -107,14 +121,33 @@ class FlatBatch:
 
 
 class KmerApplyEngine:
-    """Annotates genomes against a packed signature table."""
+    """Annotates genomes against a packed signature table.
 
-    def __init__(self, signatures: SignatureTable, min_hits: int = 5):
+    weighted=False (default) is the reference-exact unanimity vote
+    (ApplyKmerProcessor.java:122-147); weighted=True enables the
+    north-star weighted best-tally vote, calling a role when its summed
+    hit weights reach ``min_weight`` (default: min_hits)."""
+
+    def __init__(self, signatures: SignatureTable, min_hits: int = 5,
+                 weighted: bool = False, min_weight: float | None = None):
         self.signatures = signatures
         self.k = signatures.k
         self.min_hits = min_hits
-        self.table, self.max_probes = signatures.device_table()
+        self.weighted = weighted
+        self.min_weight = float(min_hits if min_weight is None
+                                else min_weight)
+        self.table, self.max_probes = signatures.device_table(
+            packed_weights=weighted)
         self.role_ids = signatures.role_ids
+
+    def _device_step(self, batch: "FlatBatch"):
+        args = (self.table, jnp.asarray(batch.codes),
+                jnp.asarray(batch.seg_ids), jnp.asarray(batch.valid))
+        kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        if self.weighted:
+            return apply_weighted_flat(
+                *args, jnp.float32(self.min_weight), **kw)
+        return apply_flat(*args, jnp.int32(self.min_hits), **kw)
 
     def call_proteins(self, proteins: list[str]
                       ) -> list[tuple[str, int] | None]:
@@ -123,13 +156,11 @@ class KmerApplyEngine:
         if not proteins:
             return []
         batch = FlatBatch(proteins, self.k)
-        role, hits = apply_flat(
-            self.table, jnp.asarray(batch.codes), jnp.asarray(batch.seg_ids),
-            jnp.asarray(batch.valid), jnp.int32(self.min_hits),
-            k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        role, hits = self._device_step(batch)
         role = np.asarray(role)[: len(proteins)]
         hits = np.asarray(hits)[: len(proteins)]
-        return [(self.role_ids[r], int(h)) if r >= 0 else None
+        conv = (lambda h: round(float(h), 4)) if self.weighted else int
+        return [(self.role_ids[r], conv(h)) if r >= 0 else None
                 for r, h in zip(role, hits)]
 
     def prepare(self, genome: Genome
@@ -146,13 +177,11 @@ class KmerApplyEngine:
         """Device step + decode on a prepared batch."""
         if batch is None:
             return []
-        role, hits = apply_flat(
-            self.table, jnp.asarray(batch.codes), jnp.asarray(batch.seg_ids),
-            jnp.asarray(batch.valid), jnp.int32(self.min_hits),
-            k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        role, hits = self._device_step(batch)
         role = np.asarray(role)[: len(pegs)]
         hits = np.asarray(hits)[: len(pegs)]
-        return [(feat, self.role_ids[r], int(h))
+        conv = (lambda h: round(float(h), 4)) if self.weighted else int
+        return [(feat, self.role_ids[r], conv(h))
                 for feat, r, h in zip(pegs, role, hits) if r >= 0]
 
     def call_genome(self, genome: Genome

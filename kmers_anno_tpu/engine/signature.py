@@ -160,6 +160,7 @@ class SignatureTable:
     role_idx: np.ndarray        # (N,) int32 — index into role_ids
     role_ids: list[str]         # role index → role ID string
     alphabet: str = "prot"      # "prot" | "dna"
+    weights: np.ndarray | None = None  # (N,) float32 ≥ 0, or None
     stats: dict = field(default_factory=dict)
 
     def __len__(self) -> int:
@@ -175,11 +176,18 @@ class SignatureTable:
         return [decode_protein(row) for row in codes]
 
     def save(self, target: str | IO) -> None:
-        """Write ``kmer TAB roleId`` lines (BuildKmerProcessor.java:215)."""
+        """Write ``kmer TAB roleId`` lines (BuildKmerProcessor.java:215);
+        weighted tables append a third ``weight`` column (north-star
+        extension — the reference format has no weights)."""
         fh = open(target, "w") if isinstance(target, str) else target
         try:
-            for text, ridx in zip(self.kmer_texts(), self.role_idx):
-                fh.write(f"{text}\t{self.role_ids[ridx]}\n")
+            if self.weights is None:
+                for text, ridx in zip(self.kmer_texts(), self.role_idx):
+                    fh.write(f"{text}\t{self.role_ids[ridx]}\n")
+            else:
+                for text, ridx, w in zip(self.kmer_texts(), self.role_idx,
+                                         self.weights):
+                    fh.write(f"{text}\t{self.role_ids[ridx]}\t{w:.6g}\n")
         finally:
             if isinstance(target, str):
                 fh.close()
@@ -201,22 +209,32 @@ class SignatureTable:
             ridx: list[int] = []
             role_ids: list[str] = []
             role_index: dict[str, int] = {}
+            wcol: list[float] = []
             for line in fh:
                 line = line.rstrip("\r\n")
                 if not line:
                     continue
-                kmer, role = line.split("\t")[:2]
+                fields = line.split("\t")
+                kmer, role = fields[:2]
                 i = role_index.get(role)
                 if i is None:
                     i = role_index[role] = len(role_ids)
                     role_ids.append(role)
                 kmers.append(kmer)
                 ridx.append(i)
+                if len(fields) >= 3:
+                    w = float(fields[2])
+                    if w < 0:
+                        raise ValueError(f"negative kmer weight {w}")
+                    wcol.append(w)
         finally:
             if isinstance(source, str):
                 fh.close()
         if not kmers:
             raise ValueError("empty kmer database")
+        if wcol and len(wcol) != len(kmers):
+            raise ValueError("weight column present on only some rows")
+        weights = np.asarray(wcol, np.float32) if wcol else None
         k = len(kmers[0])
         if alphabet is None:
             dna_chars = set("acgtu")
@@ -237,19 +255,35 @@ class SignatureTable:
                 lo[i], hi[i] = klo[0], khi[0]
         return cls(k=k, key_lo=lo, key_hi=hi,
                    role_idx=np.asarray(ridx, np.int32), role_ids=role_ids,
-                   alphabet=alphabet)
+                   alphabet=alphabet, weights=weights)
 
     # ----- device packing -----
 
-    def device_table(self, load_factor: float = 0.5):
+    def device_table(self, load_factor: float = 0.5,
+                     packed_weights: bool = False):
         """Pack into the bucketed open-addressing device table.
+
+        packed_weights=True stores ``(fp16_bits(weight) << 16) | role_idx``
+        payloads for the weighted-vote path (ops.vote.split_packed_payload
+        decodes them); missing weights default to 1.0.  Requires < 65536
+        roles.  Default payloads are plain role indices (reference-exact
+        unanimity path).
 
         returns (table (B, 24) uint32 jnp array — resident on device so the
         hot path never re-uploads it, max_probes int)
         """
+        if packed_weights:
+            if len(self.role_ids) >= 1 << 16:
+                raise ValueError("weighted payload packing supports "
+                                 "< 65536 roles")
+            w = (self.weights if self.weights is not None
+                 else np.ones(len(self.key_lo), np.float32))
+            bits = w.astype(np.float16).view(np.uint16).astype(np.uint32)
+            values = (bits << np.uint32(16)) | self.role_idx.astype(np.uint32)
+        else:
+            values = self.role_idx.astype(np.uint32)
         table, max_probes = build_table(
-            self.key_lo, self.key_hi, self.role_idx.astype(np.uint32),
-            load_factor=load_factor)
+            self.key_lo, self.key_hi, values, load_factor=load_factor)
         return jnp.asarray(table), max_probes
 
     def role_counts(self) -> CountMap:
@@ -288,11 +322,33 @@ def _peg_keys(genome: Genome, peg, k: int, alphabet: str
     return pack_kmers_np(encode_protein(prot), k)
 
 
+def compute_weights(role_idx: np.ndarray, mode: str) -> np.ndarray | None:
+    """Per-kmer weights for the weighted-vote extension.
+
+    mode "uniform": every kmer weighs 1.0.  mode "balance": kmers of a
+    role weigh mean_kmers_per_role / kmers(role), so every role carries
+    the same total vote mass regardless of how many signature kmers it
+    owns.  mode "none": None (reference-exact unweighted table).
+    """
+    if mode == "none":
+        return None
+    if mode == "uniform":
+        return np.ones(len(role_idx), np.float32)
+    if mode == "balance":
+        if len(role_idx) == 0:
+            return np.zeros(0, np.float32)
+        counts = np.bincount(role_idx)
+        mean = len(role_idx) / max((counts > 0).sum(), 1)
+        return (mean / counts[role_idx]).astype(np.float32)
+    raise ValueError(f"unknown weight mode {mode!r}")
+
+
 def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
                      good_roles: Sequence[str], k: int = 8,
                      genome_filter: set[str] | None = None,
                      progress: bool = True,
-                     alphabet: str = "prot") -> SignatureTable:
+                     alphabet: str = "prot",
+                     weight_mode: str = "none") -> SignatureTable:
     """Build the discriminating-kmer table (``build`` command semantics).
 
     genomes:       iterable of Genome (one pass; streaming-friendly)
@@ -301,6 +357,8 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
     genome_filter: optional set of genome IDs to process (-g option)
     alphabet:      "prot" (reference semantics) or "dna" (north-star
                    config 3: nucleotide kmers from CDS DNA)
+    weight_mode:   "none" | "uniform" | "balance" — per-kmer vote weights
+                   (north-star weighted voting; "none" = reference table)
     """
     good = set(good_roles)
     role_ids: list[str] = []
@@ -369,6 +427,8 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
                               key_hi=np.zeros(0, np.uint32),
                               role_idx=np.zeros(0, np.int32),
                               role_ids=role_ids, alphabet=alphabet,
+                              weights=compute_weights(
+                                  np.zeros(0, np.int32), weight_mode),
                               stats={"buffered": buffered})
 
     lo = np.concatenate(cand_lo)
@@ -403,7 +463,7 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
 
     table = SignatureTable(
         k=k, key_lo=slo, key_hi=shi, role_idx=srole, role_ids=role_ids,
-        alphabet=alphabet,
+        alphabet=alphabet, weights=compute_weights(srole, weight_mode),
         stats={"buffered": buffered, "pruned": int(n_pruned),
                "killed": n_killed})
     counts = table.role_counts()

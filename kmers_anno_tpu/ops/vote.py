@@ -1,9 +1,9 @@
-"""Segmented unanimous-vote role calling (device).
+"""Segmented vote role calling (device): unanimous and weighted.
 
-Replicates the ``apply`` voting loop (ApplyKmerProcessor.java:122-147,
-SURVEY.md §2c Q9) as an order-free reduction.  The Java loop walks kmers
-sequentially and aborts at the first conflicting hit; the outcome only
-depends on order-free facts:
+``unanimous_vote`` replicates the ``apply`` voting loop
+(ApplyKmerProcessor.java:122-147, SURVEY.md §2c Q9) as an order-free
+reduction.  The Java loop walks kmers sequentially and aborts at the first
+conflicting hit; the outcome only depends on order-free facts:
 
 * a peg is *bad* iff two hits disagree anywhere  ⇔  min(hit roles) != max
 * the called role is the unanimous role
@@ -11,9 +11,19 @@ depends on order-free facts:
 
 so the whole batch reduces with two masked min/max reductions and a sum —
 no scan, no data-dependent control flow.
+
+``weighted_vote_flat`` is the north-star extension (BASELINE config 2:
+"weighted voting enabled"): every table entry carries a weight, a
+sequence's tally per role is the sum of its hit weights, and the
+best-tally role is called when the tally clears a threshold.  Tallies are
+computed with one device sort over (segment, role) pairs + segmented sums
+— scalable to any role count, unlike a dense (seq × role) matrix.
+Deterministic tie-break: equal tallies call the smaller role index.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -42,3 +52,61 @@ def unanimous_vote(roles: jnp.ndarray, valid: jnp.ndarray,
     role = jnp.where(called, rmax, -1)
     count = jnp.where(unanimous, n_hits, 0)
     return role, count
+
+
+def split_packed_payload(val: jnp.ndarray):
+    """Split packed (weight, role) table payloads.
+
+    val: (...,) int32 probe results — -1 = miss, else
+         (fp16_bits(weight) << 16) | role_idx  (role_idx < 65536,
+         weight >= 0 so the sign bit is clear and val stays positive)
+    returns (role (...,) int32 with -1 preserved, weight (...,) float32)
+    """
+    miss = val < 0
+    role = jnp.where(miss, -1, val & 0xFFFF)
+    bits = (val.astype(jnp.uint32) >> jnp.uint32(16)).astype(jnp.uint16)
+    weight = jax.lax.bitcast_convert_type(bits, jnp.float16)
+    weight = jnp.where(miss, 0.0, weight.astype(jnp.float32))
+    return role.astype(jnp.int32), weight
+
+
+@partial(jax.jit, static_argnames=("n_seqs",))
+def weighted_vote_flat(roles: jnp.ndarray, weights: jnp.ndarray,
+                       seg_ids: jnp.ndarray, valid: jnp.ndarray,
+                       min_weight: jnp.ndarray, *, n_seqs: int):
+    """Weighted best-role vote over a flat token stream.
+
+    roles:    (T,) int32 role per kmer window, -1 = miss
+    weights:  (T,) float32 weight per hit (ignored where miss/invalid)
+    seg_ids:  (T,) int32 sequence index per window (padding → n_seqs)
+    valid:    (T,) bool kmer-window validity
+    min_weight: float32 scalar — minimum winning tally to call
+
+    returns (role (n_seqs,) int32 — called role or -1,
+             tally (n_seqs,) float32 — winning tally, 0 when uncalled)
+    """
+    t = roles.shape[0]
+    hit = valid & (roles >= 0)
+    seg = jnp.where(hit, seg_ids, n_seqs).astype(jnp.int32)
+    rol = jnp.where(hit, roles, _INT32_MAX)
+    w = jnp.where(hit, weights, 0.0)
+    # one sort groups equal (seg, role) pairs into runs
+    sseg, srol, sw = jax.lax.sort((seg, rol, w), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sseg[1:] != sseg[:-1]) | (srol[1:] != srol[:-1])])
+    run = jnp.cumsum(first.astype(jnp.int32)) - 1
+    tally = jax.ops.segment_sum(sw, run, num_segments=t)
+    # per-run row: (segment, role, tally) at each run's first position
+    run_seg = jnp.where(first & (sseg < n_seqs), sseg, n_seqs)
+    run_tally = jnp.where(first, tally[run], 0.0)
+    best = jax.ops.segment_max(run_tally, run_seg,
+                               num_segments=n_seqs + 1)[:-1]
+    # among winning runs of a segment, call the smallest role index
+    is_best = first & (run_tally >= best[jnp.minimum(run_seg, n_seqs - 1)]) \
+        & (run_seg < n_seqs)
+    cand = jnp.where(is_best, srol, _INT32_MAX)
+    role = jax.ops.segment_min(cand, run_seg, num_segments=n_seqs + 1)[:-1]
+    called = (best >= min_weight) & (role != _INT32_MAX) & (best > 0.0)
+    return (jnp.where(called, role, -1).astype(jnp.int32),
+            jnp.where(called, best, 0.0))
