@@ -93,15 +93,21 @@ def unpack_kmer_np(lo: np.ndarray, hi: np.ndarray, k: int) -> np.ndarray:
 # device group-by: unanimity over sorted key segments
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _unanimity_groupby(lo: jnp.ndarray, hi: jnp.ndarray, role: jnp.ndarray):
-    """Sort (hi, lo) keys and test per-key role unanimity.
+CONFLICT = np.int32(-2)  # role tombstone: key seen with ≥2 distinct roles
 
-    lo/hi:  (N,) uint32 packed keys (EMPTY = padding, sorts last)
-    role:   (N,) int32 role index per occurrence
-    returns (slo, shi, srole, keep) — sorted arrays plus a bool mask that is
-    True exactly at the first position of each real key whose occurrences
-    all share one role.
+
+@jax.jit
+def _resolve_groupby(lo: jnp.ndarray, hi: jnp.ndarray, role: jnp.ndarray):
+    """Sort (hi, lo) keys and resolve each key's role by unanimity.
+
+    lo/hi:  (N,) uint32 packed keys (EMPTY/EMPTY = padding, sorts last)
+    role:   (N,) int32 role per occurrence; CONFLICT (-2) marks keys
+            already known conflicted from an earlier merge round — any
+            segment containing one stays conflicted (min ≠ max)
+    returns (slo, shi, out_role, keep) — sorted arrays; keep is True at
+    the FIRST position of every real key; out_role there is the unanimous
+    role or CONFLICT.  This is the mergeable kernel of the streaming
+    build: state ∪ new occurrences re-resolve in one sort per flush.
     """
     n = lo.shape[0]
     shi, slo, srole = jax.lax.sort((hi, lo, role), num_keys=2)
@@ -111,11 +117,19 @@ def _unanimity_groupby(lo: jnp.ndarray, hi: jnp.ndarray, role: jnp.ndarray):
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     rmin = jax.ops.segment_min(srole, seg, num_segments=n)
     rmax = jax.ops.segment_max(srole, seg, num_segments=n)
-    unanimous = rmin[seg] == rmax[seg]
-    real = slo != EMPTY
-    keep = first & real & unanimous
-    n_unique = jnp.sum(first & real).astype(jnp.int32)
-    return slo, shi, srole, keep, n_unique
+    out_role = jnp.where(rmin == rmax, rmin, CONFLICT)[seg]
+    keep = first & (slo != EMPTY)
+    return slo, shi, out_role, keep
+
+
+@jax.jit
+def _dedup_groupby(lo: jnp.ndarray, hi: jnp.ndarray):
+    """Sorted unique keys of a padded key array (kill-list merges)."""
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    keep = ((shi != prev_hi) | (slo != prev_lo)) & (slo != EMPTY)
+    return slo, shi, keep
 
 
 @partial(jax.jit, static_argnames=("n_cand", "max_probes"))
@@ -126,6 +140,120 @@ def _mark_killed(cand_table, kill_lo, kill_hi, n_cand, max_probes):
     idx = probe_table(cand_table, kill_lo, kill_hi, valid, max_probes)
     dead = jnp.zeros((n_cand,), jnp.bool_)
     return dead.at[jnp.where(idx >= 0, idx, n_cand)].set(True, mode="drop")
+
+
+def _pad_pow2(arrs: tuple[np.ndarray, ...], fill, dtype=None,
+              minimum: int = 1 << 12) -> tuple[jnp.ndarray, ...]:
+    """Concatenate + pad each array list to one power-of-two width so the
+    jitted group-bys compile O(log n) programs, not one per size."""
+    n = len(arrs[0])
+    width = max(minimum, 1 << (max(n, 1) - 1).bit_length())
+    out = []
+    for a, f in zip(arrs, fill):
+        buf = np.full(width, f, a.dtype if dtype is None else dtype)
+        buf[:n] = a
+        out.append(jnp.asarray(buf))
+    return tuple(out)
+
+
+class StreamingTableBuilder:
+    """Bounded-memory accumulator for the signature build (SURVEY §7 hard
+    part 5: the 100M+-entry build is itself a distributed sort group-by,
+    not a hash map).
+
+    Feed per-genome (key, role) occurrences and kill keys; the builder
+    keeps only the SORTED UNIQUE state — one (lo, hi, role) triple per
+    key, with CONFLICT tombstones for keys seen under ≥2 roles — and
+    re-resolves state ∪ pending in one device sort whenever the pending
+    occurrence pool exceeds ``chunk_entries``.  Host memory is therefore
+    O(unique keys + chunk), independent of total occurrences; device
+    memory is one padded sort per flush.
+    """
+
+    def __init__(self, chunk_entries: int = 1 << 23):
+        self.chunk_entries = chunk_entries
+        z = np.zeros(0, np.uint32)
+        self.state: tuple[np.ndarray, np.ndarray, np.ndarray] = (
+            z, z, np.zeros(0, np.int32))
+        self.kill_state: tuple[np.ndarray, np.ndarray] = (z, z)
+        self._pend: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._pend_n = 0
+        self._pend_kill: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pend_kill_n = 0
+
+    def add_candidates(self, lo: np.ndarray, hi: np.ndarray,
+                       role: np.ndarray) -> None:
+        if len(lo):
+            self._pend.append((lo, hi, role))
+            self._pend_n += len(lo)
+            if self._pend_n >= self.chunk_entries:
+                self._flush()
+
+    def add_kills(self, lo: np.ndarray, hi: np.ndarray) -> None:
+        if len(lo):
+            self._pend_kill.append((lo, hi))
+            self._pend_kill_n += len(lo)
+            if self._pend_kill_n >= self.chunk_entries:
+                self._flush_kills()
+
+    def _flush(self) -> None:
+        if not self._pend:
+            return
+        slo, shi, srole = self.state
+        lo = np.concatenate([slo] + [p[0] for p in self._pend])
+        hi = np.concatenate([shi] + [p[1] for p in self._pend])
+        role = np.concatenate([srole] + [p[2] for p in self._pend])
+        self._pend, self._pend_n = [], 0
+        dlo, dhi, drole, keep = _resolve_groupby(
+            *_pad_pow2((lo, hi), (EMPTY, EMPTY)),
+            _pad_pow2((role,), (0,))[0])
+        keep = np.asarray(keep)
+        self.state = (np.asarray(dlo)[keep], np.asarray(dhi)[keep],
+                      np.asarray(drole)[keep])
+        log.info("build state: %d unique kmers (%d conflicted).",
+                 len(self.state[0]),
+                 int((self.state[2] == CONFLICT).sum()))
+
+    def _flush_kills(self) -> None:
+        if not self._pend_kill:
+            return
+        klo, khi = self.kill_state
+        lo = np.concatenate([klo] + [p[0] for p in self._pend_kill])
+        hi = np.concatenate([khi] + [p[1] for p in self._pend_kill])
+        self._pend_kill, self._pend_kill_n = [], 0
+        dlo, dhi, keep = _dedup_groupby(
+            *_pad_pow2((lo, hi), (EMPTY, EMPTY)))
+        keep = np.asarray(keep)
+        self.kill_state = (np.asarray(dlo)[keep], np.asarray(dhi)[keep])
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+        """Resolve everything: returns (lo, hi, role) of surviving
+        discriminating kmers (sorted by key) + stats."""
+        self._flush()
+        self._flush_kills()
+        lo, hi, role = self.state
+        n_unique = len(lo)
+        live = role != CONFLICT
+        lo, hi, role = lo[live], hi[live], role[live]
+        n_pruned = n_unique - len(lo)
+
+        n_killed = 0
+        klo, khi = self.kill_state
+        if len(klo) and len(lo):
+            cand_table, max_probes = build_table(
+                lo, hi, np.arange(len(lo), dtype=np.uint32))
+            dead = np.zeros(len(lo), bool)
+            step = self.chunk_entries
+            for s in range(0, len(klo), step):
+                kl, kh = _pad_pow2((klo[s: s + step], khi[s: s + step]),
+                                   (EMPTY, EMPTY))
+                hit = _mark_killed(cand_table, kl, kh, len(lo), max_probes)
+                dead |= np.asarray(hit)
+            n_killed = int(dead.sum())
+            lo, hi, role = lo[~dead], hi[~dead], role[~dead]
+        stats = {"pruned": n_pruned, "killed": n_killed,
+                 "unique": n_unique}
+        return lo, hi, role, stats
 
 
 def _dedup_pairs(lo: np.ndarray, hi: np.ndarray,
@@ -178,7 +306,10 @@ class SignatureTable:
     def save(self, target: str | IO) -> None:
         """Write ``kmer TAB roleId`` lines (BuildKmerProcessor.java:215);
         weighted tables append a third ``weight`` column (north-star
-        extension — the reference format has no weights)."""
+        extension — the reference format has no weights).  A ``.kdb`` /
+        ``.npz`` path selects the binary format instead (save_binary)."""
+        if isinstance(target, str) and target.endswith((".kdb", ".npz")):
+            return self.save_binary(target)
         fh = open(target, "w") if isinstance(target, str) else target
         try:
             if self.weights is None:
@@ -192,17 +323,53 @@ class SignatureTable:
             if isinstance(target, str):
                 fh.close()
 
+    # ----- binary round-trip (the at-scale interchange format) -----
+    #
+    # The TSV format re-parses every kmer string; at 10M-100M entries
+    # (BASELINE configs 4-5) that is minutes of host time.  The binary
+    # format is the packed arrays themselves (uncompressed npz): loads
+    # are a few array reads regardless of table size.
+
+    def save_binary(self, path: str) -> None:
+        with open(path, "wb") as fh:
+            np.savez(
+                fh, format=np.array("kmers-anno-tpu-kdb-1"),
+                k=np.array(self.k, np.int32),
+                alphabet=np.array(self.alphabet),
+                role_ids=np.array(self.role_ids, dtype="U"),
+                key_lo=self.key_lo, key_hi=self.key_hi,
+                role_idx=self.role_idx,
+                **({"weights": self.weights}
+                   if self.weights is not None else {}))
+
+    @classmethod
+    def load_binary(cls, path: str) -> "SignatureTable":
+        with np.load(path, allow_pickle=False) as z:
+            fmt = str(z["format"])
+            if fmt != "kmers-anno-tpu-kdb-1":
+                raise ValueError(f"unknown kmer DB format {fmt!r}")
+            return cls(
+                k=int(z["k"]), key_lo=z["key_lo"], key_hi=z["key_hi"],
+                role_idx=z["role_idx"], role_ids=list(z["role_ids"]),
+                alphabet=str(z["alphabet"]),
+                weights=z["weights"] if "weights" in z else None)
+
     @classmethod
     def load(cls, source: str | IO,
              alphabet: str | None = None) -> "SignatureTable":
         """Load a kmer DB TSV; K is inferred from the kmer text length
-        (ApplyKmerProcessor.java:108).
+        (ApplyKmerProcessor.java:108).  Binary DBs (save_binary) are
+        auto-detected by their zip magic.
 
         ``alphabet`` None = auto-detect: kmer texts that are entirely
         lowercase acgtu are DNA (GTO contig DNA is lowercase; protein
         kmers are uppercase), everything else is protein.  Pass "prot" or
         "dna" to force.
         """
+        if isinstance(source, str):
+            with open(source, "rb") as bf:
+                if bf.read(4) == b"PK\x03\x04":  # npz zip magic
+                    return cls.load_binary(source)
         fh = open(source, "r") if isinstance(source, str) else source
         try:
             kmers: list[str] = []
@@ -364,11 +531,7 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
     role_ids: list[str] = []
     role_index: dict[str, int] = {}
 
-    cand_lo: list[np.ndarray] = []
-    cand_hi: list[np.ndarray] = []
-    cand_role: list[np.ndarray] = []
-    kill_lo: list[np.ndarray] = []
-    kill_hi: list[np.ndarray] = []
+    builder = StreamingTableBuilder()
     buffered = 0
 
     for genome in genomes:
@@ -409,63 +572,30 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
             lo, hi, role = _dedup_pairs(
                 np.concatenate(g_lo), np.concatenate(g_hi),
                 np.concatenate(g_role))
-            cand_lo.append(lo)
-            cand_hi.append(hi)
-            cand_role.append(role)
+            builder.add_candidates(lo, hi, role)
         if gk_lo:
             lo, hi = _dedup_pairs(
                 np.concatenate(gk_lo), np.concatenate(gk_hi), None)
-            kill_lo.append(lo)
-            kill_hi.append(hi)
+            builder.add_kills(lo, hi)
         buffered += n_buffered
         if progress:
             log.info("%s: %d interesting pegs, %d buffered.",
                      genome, n_interesting, n_buffered)
 
-    if not cand_lo:
-        return SignatureTable(k=k, key_lo=np.zeros(0, np.uint32),
-                              key_hi=np.zeros(0, np.uint32),
-                              role_idx=np.zeros(0, np.int32),
-                              role_ids=role_ids, alphabet=alphabet,
-                              weights=compute_weights(
-                                  np.zeros(0, np.int32), weight_mode),
-                              stats={"buffered": buffered})
-
-    lo = np.concatenate(cand_lo)
-    hi = np.concatenate(cand_hi)
-    role = np.concatenate(cand_role)
-
-    # Pass 1 prune on device: sort-based unanimity group-by.
-    slo, shi, srole, keep, n_unique = _unanimity_groupby(
-        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(role))
-    keep = np.asarray(keep)
-    slo = np.asarray(slo)[keep]
-    shi = np.asarray(shi)[keep]
-    srole = np.asarray(srole)[keep]
-    n_pruned = int(n_unique) - len(slo)
+    # Pass 1 prune (unanimity) + pass 2 kill, streamed (bounded memory).
+    slo, shi, srole, bstats = builder.finish()
     log.info("%d non-unique kmers deleted.  %d discriminating kmers left.  "
-             "%d proteins buffered.", n_pruned, len(slo), buffered)
-
-    # Pass 2 on device: delete any candidate present in a kill protein.
-    n_killed = 0
-    if kill_lo and len(slo):
-        cand_table, max_probes = build_table(
-            slo, shi, np.arange(len(slo), dtype=np.uint32))
-        dead = np.zeros(len(slo), bool)
-        for klo, khi in zip(kill_lo, kill_hi):
-            hit = _mark_killed(cand_table, jnp.asarray(klo),
-                               jnp.asarray(khi), len(slo), max_probes)
-            dead |= np.asarray(hit)
-        n_killed = int(dead.sum())
-        slo, shi, srole = slo[~dead], shi[~dead], srole[~dead]
+             "%d proteins buffered.", bstats["pruned"],
+             bstats["unique"] - bstats["pruned"], buffered)
     log.info("%d kmers killed by buffered proteins.  "
-             "%d discriminating kmers remaining.", n_killed, len(slo))
+             "%d discriminating kmers remaining.",
+             bstats["killed"], len(slo))
 
     table = SignatureTable(
         k=k, key_lo=slo, key_hi=shi, role_idx=srole, role_ids=role_ids,
         alphabet=alphabet, weights=compute_weights(srole, weight_mode),
-        stats={"buffered": buffered, "pruned": int(n_pruned),
-               "killed": n_killed})
+        stats={"buffered": buffered, "pruned": bstats["pruned"],
+               "killed": bstats["killed"]})
     counts = table.role_counts()
     for rid in good:
         if counts.get_count(rid) == 0:
