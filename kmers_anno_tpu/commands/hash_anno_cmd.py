@@ -9,9 +9,11 @@ import os
 import time
 
 from ..engine.annotation import ANNO_FILE_RE, OUTPUT_HEADER
-from ..engine.hashanno import Prototype, annotate_genome_rows
+from ..engine.hashanno import (Prototype, PrototypeSet,
+                               annotate_genome_rows)
 from ..genome.sources import GenomeSource
 from ..utils.io import TabbedLineReader
+from ..utils.prefetch import prefetch_map
 from .base import BaseMultiReportProcessor, ParseFailureException
 
 log = logging.getLogger(__name__)
@@ -88,16 +90,21 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
             log.info("%d genomes left to process.", len(genome_ids))
         totals = dict(features=0, proteins=0, confirmed=0, defaulted=0,
                       changed=0)
+        # pack prototype kmers once for the whole run
+        protoset = PrototypeSet(self.prototypes, self.kmer_size)
         with open(self.out_file("changes.tbl"), "w") as change_writer:
             change_writer.write(OUTPUT_HEADER + "\n")
-            for i, gid in enumerate(sorted(genome_ids), 1):
-                genome = self.genomes.get(gid)
+            # genome load/parse of the next genomes overlaps the scoring of
+            # the current one (parallelStream parity,
+            # HashAnnotationProcessor.java:208 — outputs stay in order)
+            stream = prefetch_map(sorted(genome_ids),
+                                  lambda g: (g, self.genomes.get(g)))
+            for i, (gid, genome) in enumerate(stream, 1):
                 log.info("Processing genome %d of %d:  %s.", i,
                          len(genome_ids), genome)
                 start = time.time()
                 rows, changes, stats = annotate_genome_rows(
-                    genome, self.prototypes, self.kmer_size,
-                    self.min_score)
+                    genome, protoset, self.kmer_size, self.min_score)
                 with open(self.out_file(f"{gid}.anno.tbl"), "w") as fh:
                     fh.write(OUTPUT_HEADER + "\n")
                     for row in rows:

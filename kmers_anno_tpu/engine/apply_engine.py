@@ -33,7 +33,8 @@ from ..genome.gto import Genome, Feature
 from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import probe_table
 from ..ops.kmers import pack_kmer_windows
-from ..ops.vote import split_packed_payload, weighted_vote_flat
+from ..ops.vote import (DENSE_VOTE_LIMIT, split_packed_payload,
+                        weighted_vote_dense, weighted_vote_flat)
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -76,15 +77,25 @@ def apply_flat(table, codes, seg_ids, valid, min_hits, *,
     return jnp.where(called, rmax, -1), jnp.where(called, n_hits, 0)
 
 
-@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs"))
+@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs", "n_roles"))
 def apply_weighted_flat(table, codes, seg_ids, valid, min_weight, *,
-                        k: int, max_probes: int, n_seqs: int):
+                        k: int, max_probes: int, n_seqs: int,
+                        n_roles: int = 0):
     """Weighted-vote apply step (north-star config 2): same pack + probe
     as apply_flat, but payloads carry packed (weight, role) and the vote
-    is a best-tally reduction instead of unanimity (ops.vote)."""
+    is a best-tally reduction instead of unanimity (ops.vote).
+
+    With a known small role space (0 < n_seqs*n_roles ≤ DENSE_VOTE_LIMIT)
+    the tally is a dense scatter + row argmax; otherwise the sort-based
+    reduction handles arbitrarily many roles (large 1-D sorts are slow on
+    TPU, so the dense path is strongly preferred when it fits)."""
     lo, hi = pack_kmer_windows(codes, k)
     val = probe_table(table, lo, hi, valid, max_probes)
     roles, weights = split_packed_payload(val)
+    if 0 < n_roles * n_seqs <= DENSE_VOTE_LIMIT:
+        return weighted_vote_dense(roles, weights, seg_ids, valid,
+                                   min_weight, n_seqs=n_seqs,
+                                   n_roles=n_roles)
     return weighted_vote_flat(roles, weights, seg_ids, valid, min_weight,
                               n_seqs=n_seqs)
 
@@ -146,7 +157,8 @@ class KmerApplyEngine:
         kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
         if self.weighted:
             return apply_weighted_flat(
-                *args, jnp.float32(self.min_weight), **kw)
+                *args, jnp.float32(self.min_weight),
+                n_roles=len(self.role_ids), **kw)
         return apply_flat(*args, jnp.int32(self.min_hits), **kw)
 
     def call_proteins(self, proteins: list[str]

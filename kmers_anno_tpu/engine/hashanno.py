@@ -10,15 +10,21 @@ classes (SURVEY.md §2b) with a device-probed design:
 * Every protein starts with the **default proposal** (its old annotation at
   similarity 0.0) — this is why the reference's per-feature output can show
   score 0.0 = "defaulted" (Q12, HashAnnotationProcessor.java:297).
-* Prototypes are scored in chunks: one device probe of all chunk kmers,
-  host CSR expansion, and a vectorized per-(prototype, protein)
-  common-kmer count.  Similarity is the Jaccard similarity of distinct
-  kmer sets |∩| / |∪| — the SEED convention (``ProteinKmers.distance`` is
-  the matching Jaccard distance, SURVEY.md §2b ProteinKmers row; the
-  0.0125 default floor ≈ 1/80 of shared kmers).
+* Prototypes are scored in chunks entirely on device: one probe of all
+  chunk kmers, then a **dense pair-count kernel** — each hit scatters its
+  kmer's owner proteins (a fixed-width owner matrix, one gather) into an
+  (n_prototypes, n_proteins) common-count matrix, similarity is computed
+  densely, and the per-protein best prototype is one masked row argmax.
+  No sort, no host np.unique, no data-dependent shapes: everything is
+  scatter-add + elementwise + reduction, the shapes TPUs like.
+  Similarity is the Jaccard similarity of distinct kmer sets |∩| / |∪| —
+  the SEED convention (``ProteinKmers.distance`` is the matching Jaccard
+  distance, SURVEY.md §2b ProteinKmers row; the 0.0125 default floor ≈
+  1/80 of shared kmers).
 * A proposal improves only on strictly greater similarity, and must meet
-  the minScore floor; within a chunk, the earliest prototype wins ties —
-  matching the reference's sequential first-wins processing order.
+  the minScore floor; within a chunk, the earliest prototype wins ties
+  (jnp.argmax's first-max rule) — matching the reference's sequential
+  first-wins processing order.
 """
 
 from __future__ import annotations
@@ -39,7 +45,6 @@ from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import build_table, probe_table
 from ..ops.kmers import pack_kmer_windows
 from .apply_engine import _bucket
-from .projection import _sort_with_payload
 
 log = logging.getLogger(__name__)
 
@@ -49,12 +54,89 @@ def _pack(codes, k: int):
     return pack_kmer_windows(codes, k)
 
 
+# dense (prototypes × proteins) chunks are capped at this many cells
+DENSE_CELLS = 1 << 24
+
+
+@partial(jax.jit, static_argnames=("n_prot", "n_proto"))
+def _chunk_commons(owner_mat, ranks, proto_of, *, n_prot: int,
+                   n_proto: int):
+    """Dense common-kmer count matrix for one prototype chunk (device).
+
+    owner_mat: (U, cap) int32 — owner protein indices per unique genome
+               kmer rank, padded with n_prot
+    ranks:     (H,) int32 — probed rank per chunk kmer, -1 = miss/padding
+    proto_of:  (H,) int32 — prototype index per chunk kmer
+    returns (n_proto, n_prot) int32 — |kmers(prototype) ∩ kmers(protein)|
+
+    The combinatorial work (CSR expansion + per-pair counting, the old
+    host np.unique explosion) is one gather + one scatter-add here; the
+    final Jaccard + argmax stays on the host in float64 so scores are
+    bit-identical to the reference's Java doubles (TPU f32 would reorder
+    near-ties).
+    """
+    hit = ranks >= 0
+    owners = jnp.where(hit[:, None],
+                       owner_mat[jnp.maximum(ranks, 0)], n_prot)  # (H, cap)
+    proto = jnp.where(hit, proto_of, n_proto)
+    idx = proto[:, None] * (n_prot + 1) + owners
+    common = jax.ops.segment_sum(
+        jnp.ones(idx.size, jnp.int32), idx.reshape(-1),
+        num_segments=(n_proto + 1) * (n_prot + 1))
+    return common.reshape(n_proto + 1, n_prot + 1)[:n_proto, :n_prot]
+
+
 @dataclass
 class Prototype:
     """One row of the role annotation file (protein, annotation)."""
 
     protein: str
     annotation: str
+
+
+class PrototypeSet:
+    """Prototype kmers packed once and reused across every genome.
+
+    The reference re-walks the prototype list per genome
+    (HashAnnotationProcessor.java:259-263); here the chunked, packed,
+    device-resident query arrays are cached per chunk size, so an N-genome
+    run pays the prototype encode/pack/upload cost once, not N times.
+    """
+
+    def __init__(self, protos: list[Prototype], k: int):
+        self.protos = protos
+        self.k = k
+        self._cache: dict[int, list] = {}
+
+    def __len__(self) -> int:
+        return len(self.protos)
+
+    def chunks(self, chunk: int) -> list:
+        """Prepared chunks: (d_lo, d_hi, d_proto, d_valid, n2, protos,
+        n_proto_pad) with device-resident query arrays."""
+        cached = self._cache.get(chunk)
+        if cached is not None:
+            return cached
+        cached = []
+        for start in range(0, len(self.protos), chunk):
+            sub = self.protos[start: start + chunk]
+            lo, hi, proto_of, n2 = _distinct_kmers_flat(
+                [p.protein for p in sub], self.k)
+            n_proto = _bucket(len(sub), 64)
+            h = _bucket(len(lo), 4096)
+            qlo = np.zeros(h, np.uint32)
+            qhi = np.zeros(h, np.uint32)
+            qproto = np.full(h, n_proto, np.int32)
+            qvalid = np.zeros(h, bool)
+            qlo[: len(lo)], qhi[: len(lo)] = lo, hi
+            qproto[: len(lo)] = proto_of
+            qvalid[: len(lo)] = True
+            cached.append((jnp.asarray(qlo), jnp.asarray(qhi),
+                           jnp.asarray(qproto), jnp.asarray(qvalid),
+                           np.pad(n2, (0, n_proto - len(n2))), sub,
+                           n_proto))
+        self._cache[chunk] = cached
+        return cached
 
 
 def _distinct_kmers_flat(proteins: list[str], k: int):
@@ -93,11 +175,20 @@ def _distinct_kmers_flat(proteins: list[str], k: int):
     lo = np.asarray(d_lo)[valid]
     hi = np.asarray(d_hi)[valid]
     own = owner[valid]
-    # dedup (kmer, owner) pairs
-    u = np.unique(np.stack([hi, lo, own.astype(np.uint32)], axis=1), axis=0)
-    lo_u, hi_u, own_u = u[:, 1], u[:, 0], u[:, 2].astype(np.int32)
+    # dedup (kmer, owner) pairs via one uint64 key + lexsort (np.unique
+    # with axis=0 sorts void views — an order of magnitude slower).
+    # Output is KEY-MAJOR (key, then owner): equal kmers are adjacent, so
+    # callers can group by key with one adjacent-diff pass and no re-sort.
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    order = np.lexsort((own, key))
+    k_s, o_s = key[order], own[order]
+    keep = np.ones(len(order), bool)
+    keep[1:] = (k_s[1:] != k_s[:-1]) | (o_s[1:] != o_s[:-1])
+    k_u, own_u = k_s[keep], o_s[keep]
+    lo_u = (k_u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi_u = (k_u >> np.uint64(32)).astype(np.uint32)
     counts = np.bincount(own_u, minlength=n).astype(np.int64)
-    return lo_u, hi_u, own_u, counts
+    return lo_u, hi_u, own_u.astype(np.int32), counts
 
 
 class GenomeProteinKmers:
@@ -133,20 +224,33 @@ class GenomeProteinKmers:
         self.best_sim = np.zeros(n, np.float64)
         self.best_anno = list(self._annotations)
         if len(lo):
-            slo, shi, sown, first, seg, seg_counts = _sort_with_payload(
-                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(owner))
-            slo, shi = np.asarray(slo), np.asarray(shi)
-            first = np.asarray(first)
+            # _distinct_kmers_flat output is key-major: equal kmers are
+            # adjacent, so unique keys fall out of one adjacent-diff pass
+            first = np.ones(len(lo), bool)
+            first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
             starts = np.flatnonzero(first)
-            self.csr_owner = np.asarray(sown)
-            self.csr_starts = starts.astype(np.int64)
-            self.csr_counts = np.asarray(seg_counts)[: len(starts)].astype(
-                np.int32)
+            u = len(starts)
+            ucounts = np.diff(np.append(starts, len(lo))).astype(np.int64)
+            slo, shi, sown = lo, hi, owner
+            # fixed-width owner matrix: rank → its owner proteins, padded
+            # with the (bucketed) protein count; ONE device gather expands
+            # a probe hit into owners.  Rows and protein count are padded
+            # to power-of-two buckets so _chunk_scores compiles O(log n)
+            # programs across genomes, not one per genome.
+            cap = int(ucounts.max(initial=1))
+            self.n_pad = _bucket(n, 256)
+            u_pad = _bucket(u, 4096)
+            owner_mat = np.full((u_pad, cap), self.n_pad, np.int32)
+            rows = np.repeat(np.arange(u), ucounts)
+            cols = np.arange(len(rows)) - np.repeat(
+                np.cumsum(ucounts) - ucounts, ucounts)
+            owner_mat[rows, cols] = sown[: len(rows)]
+            self.owner_mat = jnp.asarray(owner_mat)
             table, self.max_probes = build_table(
                 slo[starts], shi[starts],
-                np.arange(len(starts), dtype=np.uint32))
+                np.arange(u, dtype=np.uint32))
             self.table = jnp.asarray(table)
-            self.kmer_count = len(starts)
+            self.kmer_count = u
         else:
             self.table = None
             self.kmer_count = 0
@@ -160,66 +264,47 @@ class GenomeProteinKmers:
 
     # ----- prototype scoring -----
 
-    def process_proposals(self, prototypes: list[Prototype],
+    def process_proposals(self,
+                          prototypes: "list[Prototype] | PrototypeSet",
                           chunk: int = 4096) -> int:
         """Score every prototype; returns total match count (proteins whose
-        proposal a prototype improved)."""
+        proposal a prototype improved).  Pass a PrototypeSet to reuse the
+        packed prototype kmers across genomes."""
         if not self._built:
             self._build()
+        if isinstance(prototypes, list):
+            prototypes = PrototypeSet(prototypes, self.k)
+        # bound the dense (chunk × proteins) pair matrix
+        n_pad = getattr(self, "n_pad",
+                        _bucket(max(len(self._proteins), 1), 256))
+        chunk = max(1, min(chunk, DENSE_CELLS // (n_pad + 1) - 1))
         matches = 0
-        for start in range(0, len(prototypes), chunk):
-            matches += self._process_chunk(prototypes[start: start + chunk])
+        for prepared in prototypes.chunks(chunk):
+            matches += self._process_chunk(prepared)
         return matches
 
-    def _process_chunk(self, protos: list[Prototype]) -> int:
+    def _process_chunk(self, prepared) -> int:
+        d_lo, d_hi, d_proto, d_valid, n2, protos, n_proto = prepared
         if self.table is None or not protos:
             return 0
-        lo, hi, owner, n2 = _distinct_kmers_flat(
-            [p.protein for p in protos], self.k)
-        if not len(lo):
-            return 0
-        ranks = np.asarray(probe_table(
-            self.table, jnp.asarray(lo), jnp.asarray(hi),
-            jnp.ones(len(lo), bool), self.max_probes))
-        hit = ranks >= 0
-        ranks, proto_of = ranks[hit], owner[hit]
-        if not len(ranks):
-            return 0
-        counts = self.csr_counts[ranks]
-        starts = self.csr_starts[ranks]
-        total = int(counts.sum())
-        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
-                                            counts)
-        prot_idx = self.csr_owner[np.repeat(starts, counts) + offs]
-        pair_proto = np.repeat(proto_of, counts)
-        # common-kmer count per (prototype, protein) pair
         n_prot = len(self._proteins)
-        pair_key = pair_proto.astype(np.int64) * n_prot + prot_idx
-        uniq_keys, common = np.unique(pair_key, return_counts=True)
-        u_proto = (uniq_keys // n_prot).astype(np.int64)
-        u_prot = (uniq_keys % n_prot).astype(np.int64)
-        n1 = self.protein_kmer_counts[u_prot]
-        union = n1 + n2[u_proto] - common
-        sim = np.where(union > 0, common / np.maximum(union, 1), 0.0)
-        ok = sim >= self.min_score
-        u_proto, u_prot, sim = u_proto[ok], u_prot[ok], sim[ok]
-        if not len(sim):
-            return 0
-        # earliest prototype wins ties within the chunk: stable order by
-        # (protein, -sim, proto) and take the first row per protein
-        order = np.lexsort((u_proto, -sim, u_prot))
-        u_prot_o = u_prot[order]
-        first = np.ones(len(order), bool)
-        first[1:] = u_prot_o[1:] != u_prot_o[:-1]
-        rows = order[first]
-        improved = 0
-        for r in rows:
-            p = int(u_prot[r])
-            if sim[r] > self.best_sim[p]:
-                self.best_sim[p] = sim[r]
-                self.best_anno[p] = protos[int(u_proto[r])].annotation
-                improved += 1
-        return improved
+        ranks = probe_table(self.table, d_lo, d_hi, d_valid,
+                            self.max_probes)
+        common = np.asarray(_chunk_commons(
+            self.owner_mat, ranks, d_proto,
+            n_prot=self.n_pad, n_proto=n_proto))[: len(protos), : n_prot]
+        # exact float64 Jaccard + first-max argmax (Java-double parity)
+        n1 = self.protein_kmer_counts[None, :]
+        union = n1 + n2[: len(protos), None] - common
+        sim = np.where(common > 0, common / np.maximum(union, 1), 0.0)
+        sim[sim < self.min_score] = 0.0
+        best = sim.max(axis=0)
+        winner = sim.argmax(axis=0)  # first max = earliest prototype
+        improved = np.flatnonzero(best > self.best_sim)
+        self.best_sim[improved] = best[improved]
+        for p in improved:
+            self.best_anno[p] = protos[int(winner[p])].annotation
+        return len(improved)
 
     # ----- lookup -----
 
@@ -236,9 +321,11 @@ class GenomeProteinKmers:
 OUTPUT_HEADER = "fid\tscore\tnew_annotation\told_annotation"
 
 
-def annotate_genome_rows(genome: Genome, prototypes: list[Prototype],
+def annotate_genome_rows(genome: Genome,
+                         prototypes: "list[Prototype] | PrototypeSet",
                          k: int, min_score: float):
-    """Full hashAnno pass over one genome.
+    """Full hashAnno pass over one genome.  Pass a PrototypeSet when
+    annotating many genomes so prototype packing happens once.
 
     returns (rows — one (fid, score_str, new, old) per feature in order,
              change_rows subset, stats dict).

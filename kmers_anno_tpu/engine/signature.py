@@ -258,14 +258,23 @@ class StreamingTableBuilder:
 
 def _dedup_pairs(lo: np.ndarray, hi: np.ndarray,
                  role: np.ndarray | None) -> tuple[np.ndarray, ...]:
-    """Host dedup of (key, role) pairs within one genome.  Safe because
-    unanimity only depends on the SET of roles seen per kmer, not counts."""
+    """Host dedup of (key, role) pairs within one genome via one uint64
+    key + lexsort (np.unique with axis=0 sorts void views — far slower).
+    Safe because unanimity only depends on the SET of roles seen per
+    kmer, not counts."""
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
     if role is None:
-        u = np.unique(np.stack([hi, lo], axis=1), axis=0)
-        return u[:, 1], u[:, 0]
-    u = np.unique(
-        np.stack([hi, lo, role.astype(np.uint32)], axis=1), axis=0)
-    return u[:, 1], u[:, 0], u[:, 2].astype(np.int32)
+        k_u = np.unique(key)
+        return ((k_u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (k_u >> np.uint64(32)).astype(np.uint32))
+    order = np.lexsort((role, key))
+    k_s, r_s = key[order], role[order]
+    keep = np.ones(len(order), bool)
+    keep[1:] = (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])
+    k_u, r_u = k_s[keep], r_s[keep]
+    return ((k_u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (k_u >> np.uint64(32)).astype(np.uint32),
+            r_u.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kan_fasta_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, i64p, ctypes.c_char_p, i64p]
         lib.kan_fasta_free.argtypes = [ctypes.c_void_p]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.kan_apply_baseline.argtypes = [
+            u8p, i64, i64, u32p, i64, i32, i32, i32, i32p]
         _lib = lib
         return _lib
 
@@ -127,6 +130,27 @@ def flat_peg_batch(proteins: list[str], width: int, pad_seg: int
     lib.kan_flat_peg_batch(concat, offsets, len(proteins), width, pad_seg,
                            codes, seg_ids, pos_in_seq, len_bcast)
     return codes, seg_ids, pos_in_seq, len_bcast
+
+
+def apply_baseline(codes: np.ndarray, table: np.ndarray, max_probes: int,
+                   k: int, min_hits: int) -> np.ndarray | None:
+    """Single-core compiled apply loop (the compiled stand-in for the
+    reference's single-core Java HashMap walk — see kan_apply_baseline).
+
+    codes: (n_prot, plen) uint8 protein codes; table: (B, 24) uint32
+    returns (n_prot,) int32 called role per protein (-1 = uncalled),
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    table = np.ascontiguousarray(table, np.uint32)
+    n_prot, plen = codes.shape
+    out = np.empty(n_prot, np.int32)
+    lib.kan_apply_baseline(codes.reshape(-1), n_prot, plen,
+                           table.reshape(-1), table.shape[0],
+                           max_probes, k, min_hits, out)
+    return out
 
 
 def encode_protein(s: str) -> np.ndarray | None:

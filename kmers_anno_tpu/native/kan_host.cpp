@@ -134,6 +134,65 @@ void kan_flat_peg_batch(const char* concat, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// single-core compiled apply baseline
+// ---------------------------------------------------------------------------
+//
+// The honest stand-in for the reference's single-core Java HashMap loop
+// (ApplyKmerProcessor.java:122-147): one thread, one protein at a time,
+// per-kmer hash probe + unanimity vote with early abort on conflict.  It
+// probes the SAME bucketed table layout as the device (ops/hashtable.py)
+// with the same murmur3 mixer, so it is if anything *faster* than a Java
+// HashMap<String,String> walk (no string hashing/allocation), making the
+// reported device multiple conservative.
+
+static inline uint32_t kan_fmix32(uint32_t x) {
+  x ^= x >> 16; x *= 0x85EBCA6Bu;
+  x ^= x >> 13; x *= 0xC2B2AE35u;
+  x ^= x >> 16;
+  return x;
+}
+
+void kan_apply_baseline(const uint8_t* codes, int64_t n_prot, int64_t plen,
+                        const uint32_t* table, int64_t n_buckets,
+                        int32_t max_probes, int32_t k, int32_t min_hits,
+                        int32_t* out_roles) {
+  const uint32_t mask = static_cast<uint32_t>(n_buckets - 1);
+  for (int64_t p = 0; p < n_prot; ++p) {
+    const uint8_t* s = codes + p * plen;
+    int32_t role = -1, count = 0;
+    bool bad = false;
+    for (int64_t i = 0; i + k <= plen && !bad; ++i) {
+      uint32_t lo = 0, hi = 0;
+      for (int32_t j = 0; j < k; ++j) {
+        const uint32_t c = s[i + j];
+        if (j < 6) lo |= c << (5 * j); else hi |= c << (5 * (j - 6));
+      }
+      uint32_t b = kan_fmix32(lo ^ kan_fmix32(hi ^ 0x9E3779B9u)) & mask;
+      int32_t val = -1;
+      for (int32_t r = 0; r < max_probes; ++r) {
+        const uint32_t* row = table + static_cast<size_t>(b) * 24;
+        bool full = true;
+        for (int t = 0; t < 8; ++t) {
+          if (row[t] == lo && row[8 + t] == hi) {
+            val = static_cast<int32_t>(row[16 + t]);
+            break;
+          }
+          if (row[t] == 0xFFFFFFFFu) full = false;
+        }
+        if (val >= 0 || !full) break;
+        b = (b + 1) & mask;
+      }
+      if (val >= 0) {
+        if (role < 0) { role = val; count = 1; }
+        else if (val == role) ++count;
+        else bad = true;
+      }
+    }
+    out_roles[p] = (!bad && role >= 0 && count >= min_hits) ? role : -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // FASTA reader (handle-based: parse once, copy out, free)
 // ---------------------------------------------------------------------------
 //

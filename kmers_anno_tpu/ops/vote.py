@@ -110,3 +110,31 @@ def weighted_vote_flat(roles: jnp.ndarray, weights: jnp.ndarray,
     called = (best >= min_weight) & (role != _INT32_MAX) & (best > 0.0)
     return (jnp.where(called, role, -1).astype(jnp.int32),
             jnp.where(called, best, 0.0))
+
+
+@partial(jax.jit, static_argnames=("n_seqs", "n_roles"))
+def weighted_vote_dense(roles: jnp.ndarray, weights: jnp.ndarray,
+                        seg_ids: jnp.ndarray, valid: jnp.ndarray,
+                        min_weight: jnp.ndarray, *, n_seqs: int,
+                        n_roles: int):
+    """Dense-tally weighted vote: scatter-add hit weights into an
+    (n_seqs, n_roles) matrix and argmax each row.  Preferred when
+    n_seqs × n_roles fits comfortably in memory (the role file is
+    typically 10²-10³ roles) — one scatter + one row reduction, no sort;
+    jnp.argmax's first-max rule gives the same smaller-role-index
+    tie-break as weighted_vote_flat.
+    """
+    hit = valid & (roles >= 0)
+    idx = jnp.where(hit, seg_ids * n_roles + roles, n_seqs * n_roles)
+    tallies = jax.ops.segment_sum(
+        jnp.where(hit, weights, 0.0), idx,
+        num_segments=n_seqs * n_roles + 1)[:-1].reshape(n_seqs, n_roles)
+    best = jnp.max(tallies, axis=-1)
+    role = jnp.argmax(tallies, axis=-1).astype(jnp.int32)
+    called = (best >= min_weight) & (best > 0.0)
+    return (jnp.where(called, role, -1),
+            jnp.where(called, best, 0.0))
+
+
+# dense tally matrices beyond this many elements fall back to the sort path
+DENSE_VOTE_LIMIT = 1 << 25

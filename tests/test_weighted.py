@@ -156,3 +156,21 @@ def test_cli_weighted(tmp_path):
     assert r.returncode == 0, r.stderr
     lines = r.stdout.strip().splitlines()
     assert len(lines) > 10  # header + called pegs
+
+
+def test_dense_and_sort_votes_agree():
+    import jax.numpy as jnp
+    from kmers_anno_tpu.ops.vote import (weighted_vote_dense,
+                                         weighted_vote_flat)
+    rng = np.random.default_rng(11)
+    t, n_seqs, n_roles = 4096, 64, 17
+    roles = rng.integers(-1, n_roles, t).astype(np.int32)
+    weights = rng.random(t).astype(np.float32) * 2
+    seg = rng.integers(0, n_seqs, t).astype(np.int32)
+    valid = rng.random(t) < 0.8
+    args = (jnp.asarray(roles), jnp.asarray(weights), jnp.asarray(seg),
+            jnp.asarray(valid), jnp.float32(1.0))
+    r1, t1 = weighted_vote_flat(*args, n_seqs=n_seqs)
+    r2, t2 = weighted_vote_dense(*args, n_seqs=n_seqs, n_roles=n_roles)
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5)
