@@ -33,8 +33,8 @@ from ..genome.gto import Genome, Feature
 from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import probe_table
 from ..ops.kmers import pack_kmer_windows
-from ..ops.vote import (DENSE_VOTE_LIMIT, split_packed_payload,
-                        weighted_vote_dense, weighted_vote_flat)
+from ..ops.sliced_probe import probe_table_sliced
+from ..ops.vote import pick_weighted_vote, split_packed_payload
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -48,12 +48,15 @@ def _bucket(n: int, minimum: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs"))
+@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs", "sliced"))
 def apply_flat(table, codes, seg_ids, valid, min_hits, *,
-               k: int, max_probes: int, n_seqs: int):
+               k: int, max_probes: int, n_seqs: int, sliced: bool = False):
     """The fused apply step over a flat token stream.
 
-    table:    (S, 4) uint32 open-addressing signature table
+    table:    (B, 24) uint32 bucketed signature table — or, when
+              ``sliced`` is True, the (B, 24·max_probes) probe-window
+              layout served by the sort-and-stream big-table probe
+              (ops.sliced_probe; ~19× on HBM-resident tables)
     codes:    (T,) uint8 concatenated protein codes (PROT_PAD padding)
     seg_ids:  (T,) int32 protein index per token (padding → n_seqs)
     valid:    (T,) bool — kmer window starting here stays inside one protein
@@ -63,7 +66,8 @@ def apply_flat(table, codes, seg_ids, valid, min_hits, *,
              hits (n_seqs,) int32 — unanimous hit count, 0 if uncalled)
     """
     lo, hi = pack_kmer_windows(codes, k)
-    roles = probe_table(table, lo, hi, valid, max_probes)
+    probe = probe_table_sliced if sliced else probe_table
+    roles = probe(table, lo, hi, valid, max_probes)
     hit = valid & (roles >= 0)
     seg = jnp.where(hit, seg_ids, n_seqs)
     n_hits = jax.ops.segment_sum(
@@ -77,27 +81,25 @@ def apply_flat(table, codes, seg_ids, valid, min_hits, *,
     return jnp.where(called, rmax, -1), jnp.where(called, n_hits, 0)
 
 
-@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs", "n_roles"))
+@partial(jax.jit, static_argnames=("k", "max_probes", "n_seqs", "n_roles",
+                                   "sliced"))
 def apply_weighted_flat(table, codes, seg_ids, valid, min_weight, *,
                         k: int, max_probes: int, n_seqs: int,
-                        n_roles: int = 0):
+                        n_roles: int, sliced: bool = False):
     """Weighted-vote apply step (north-star config 2): same pack + probe
     as apply_flat, but payloads carry packed (weight, role) and the vote
-    is a best-tally reduction instead of unanimity (ops.vote).
+    is a best-tally reduction instead of unanimity.
 
-    With a known small role space (0 < n_seqs*n_roles ≤ DENSE_VOTE_LIMIT)
-    the tally is a dense scatter + row argmax; otherwise the sort-based
-    reduction handles arbitrarily many roles (large 1-D sorts are slow on
-    TPU, so the dense path is strongly preferred when it fits)."""
+    The vote is always a dense tally — one (n_seqs, n_roles) matrix when
+    it fits DENSE_VOTE_LIMIT, a fori_loop over role blocks otherwise
+    (ops.vote.pick_weighted_vote); no input shape reaches the slow
+    sort-based path."""
     lo, hi = pack_kmer_windows(codes, k)
-    val = probe_table(table, lo, hi, valid, max_probes)
+    probe = probe_table_sliced if sliced else probe_table
+    val = probe(table, lo, hi, valid, max_probes)
     roles, weights = split_packed_payload(val)
-    if 0 < n_roles * n_seqs <= DENSE_VOTE_LIMIT:
-        return weighted_vote_dense(roles, weights, seg_ids, valid,
-                                   min_weight, n_seqs=n_seqs,
-                                   n_roles=n_roles)
-    return weighted_vote_flat(roles, weights, seg_ids, valid, min_weight,
-                              n_seqs=n_seqs)
+    vote = pick_weighted_vote(n_seqs, n_roles)
+    return vote(roles, weights, seg_ids, valid, min_weight)
 
 
 class FlatBatch:
@@ -147,14 +149,15 @@ class KmerApplyEngine:
         self.weighted = weighted
         self.min_weight = float(min_hits if min_weight is None
                                 else min_weight)
-        self.table, self.max_probes = signatures.device_table(
-            packed_weights=weighted)
+        self.table, self.max_probes, self.sliced = (
+            signatures.device_probe_table(packed_weights=weighted))
         self.role_ids = signatures.role_ids
 
     def _device_step(self, batch: "FlatBatch"):
         args = (self.table, jnp.asarray(batch.codes),
                 jnp.asarray(batch.seg_ids), jnp.asarray(batch.valid))
-        kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs)
+        kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs,
+                  sliced=self.sliced)
         if self.weighted:
             return apply_weighted_flat(
                 *args, jnp.float32(self.min_weight),

@@ -49,6 +49,7 @@ from ..utils.counters import CountMap
 log = logging.getLogger(__name__)
 
 _NO_ROLE = np.int32(2**31 - 1)
+_FP16_MAX = 65504.0  # largest finite float16
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +63,10 @@ def pack_kmers_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     Bit layout identical to ops.kmers.pack_kmer_windows so host-packed keys
     and device-packed keys compare equal.
     """
+    if k > 12:
+        # 5 bits/char: chars 0-5 in lo, 6-11 in hi; a 13th would shift
+        # past bit 31.  DNA tables (k ≤ 15) use ops.dna_kmers instead.
+        raise ValueError(f"protein kmer packing supports k <= 12, got {k}")
     n = len(codes) - k + 1
     if n <= 0:
         z = np.zeros(0, np.uint32)
@@ -413,9 +418,14 @@ class SignatureTable:
         weights = np.asarray(wcol, np.float32) if wcol else None
         k = len(kmers[0])
         if alphabet is None:
+            # Case-insensitive: DNA kmers from external tools may be
+            # uppercase; mis-detecting one as protein would silently pack
+            # garbage keys for k > 12 (ADVICE r2).
             dna_chars = set("acgtu")
-            alphabet = ("dna" if all(set(km) <= dna_chars for km in kmers)
-                        else "prot")
+            alphabet = ("dna" if all(set(km.lower()) <= dna_chars
+                                     for km in kmers) else "prot")
+        if alphabet == "dna":
+            kmers = [km.lower() for km in kmers]
         lo = np.zeros(len(kmers), np.uint32)
         hi = np.zeros(len(kmers), np.uint32)
         if alphabet == "dna":
@@ -448,19 +458,49 @@ class SignatureTable:
         returns (table (B, 24) uint32 jnp array — resident on device so the
         hot path never re-uploads it, max_probes int)
         """
+        table, max_probes = build_table(
+            self.key_lo, self.key_hi, self._payloads(packed_weights),
+            load_factor=load_factor)
+        return jnp.asarray(table), max_probes
+
+    def device_probe_table(self, load_factor: float = 0.5,
+                           packed_weights: bool = False):
+        """Like device_table, but auto-selects the big-table layout: tables
+        past SLICED_THRESHOLD_BYTES come back in the probe-window layout
+        for ops.sliced_probe.probe_table_sliced (measured ~19× the plain
+        gather walk on HBM-resident tables).
+
+        returns (table jnp array, max_probes int, sliced bool)
+        """
+        from ..ops.sliced_probe import pick_probe, windowed_table
+        table, max_probes = build_table(
+            self.key_lo, self.key_hi, self._payloads(packed_weights),
+            load_factor=load_factor)
+        if pick_probe(table.nbytes):
+            log.info("table is %.0f MB: using the sliced probe layout "
+                     "(window x%d).", table.nbytes / 1e6, max_probes)
+            return (jnp.asarray(windowed_table(table, max_probes)),
+                    max_probes, True)
+        return jnp.asarray(table), max_probes, False
+
+    def _payloads(self, packed_weights: bool) -> np.ndarray:
         if packed_weights:
             if len(self.role_ids) >= 1 << 16:
                 raise ValueError("weighted payload packing supports "
                                  "< 65536 roles")
             w = (self.weights if self.weights is not None
                  else np.ones(len(self.key_lo), np.float32))
+            # fp16 payload: clamp to the finite range.  'balance' weights
+            # of rare roles can exceed 65504; letting them become +inf
+            # would make a single hit win any threshold (ADVICE r2).
+            if len(w) and float(w.max()) > _FP16_MAX:
+                log.warning(
+                    "clamping %d kmer weights above %.0f to the fp16 "
+                    "payload maximum", int((w > _FP16_MAX).sum()), _FP16_MAX)
+                w = np.minimum(w, _FP16_MAX)
             bits = w.astype(np.float16).view(np.uint16).astype(np.uint32)
-            values = (bits << np.uint32(16)) | self.role_idx.astype(np.uint32)
-        else:
-            values = self.role_idx.astype(np.uint32)
-        table, max_probes = build_table(
-            self.key_lo, self.key_hi, values, load_factor=load_factor)
-        return jnp.asarray(table), max_probes
+            return (bits << np.uint32(16)) | self.role_idx.astype(np.uint32)
+        return self.role_idx.astype(np.uint32)
 
     def role_counts(self) -> CountMap:
         counts = CountMap()

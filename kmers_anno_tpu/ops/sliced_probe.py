@@ -1,0 +1,169 @@
+"""Bucket-sorted sliced probe: full-bandwidth lookups on HBM-size tables.
+
+``ops.hashtable.probe_table`` expresses the bucket walk as one XLA row
+gather.  Measured on TPU v5e (real timings, host-synced): that gather runs
+at ~530 M rows/s while the table fits on-chip memory (≤ ~13 MB) but
+collapses to ~60 M rows/s on an HBM-resident table (BASELINE config 4:
+10M entries ≈ 0.4 GB) — every random 96 B access pays full HBM latency.
+
+Two latency-hiding designs were evaluated on hardware:
+
+* per-query async DMA (a Pallas kernel, r2): dead end — DMA descriptors
+  issue from the scalar core at tens of M/s, i.e. no faster than the XLA
+  gather it was meant to replace;
+* THIS design: convert random HBM access into sequential HBM streaming +
+  random on-chip access.  Sort queries by home bucket, then scan the
+  table in on-chip-size slices; each slice is one big sequential read
+  (the whole table streams at ~870 GB/s ≈ HBM peak) and each query
+  gathers its bucket row from the *slice*, which runs at the fast
+  on-chip gather rate.  Measured end to end: ~450 M lookups/s on a 10M
+  entry table — ~19× the plain gather — with the two 4M-element
+  device sorts (queries in, results out) included.
+
+The probe walk (up to ``max_probes`` consecutive buckets, wrapping mod B)
+is folded into the row width instead of extra gathers: ``windowed_table``
+materializes row b as the concatenation of buckets b..b+P-1 (mod B), so
+one gather resolves the whole walk and a slice is self-contained.
+
+Skew safety: queries are assigned to slices by hash, so slice populations
+concentrate tightly around n/G; the per-slice query window is padded to
+``qwin`` ≈ 2× the mean (power of two).  If an adversarial/duplicate-heavy
+batch overflows a window, the kernel detects it and falls back to the
+plain full-table gather walk *inside* jit (lax.cond) — always correct,
+slow only on inputs no real proteome produces.
+
+Reference analogue: the HashMap walk in ApplyKmerProcessor.java:122-145.
+There is no Java equivalent of this memory-system shaping — that is the
+point of the TPU build.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hashing import mix_kmer
+from .hashtable import BUCKET
+
+ROW = 3 * BUCKET          # uint32 words per bucket row
+MAX_SLICE_ROWS = 1 << 16  # 65536 rows/slice: 12.6 MB at max_probes 2,
+                          # the top of the measured fast-gather zone
+# tables larger than this probe faster through the sliced path
+# (crossover measured on v5e: on-chip gather rate holds to ~13 MB,
+# halves by 25 MB, is 9× gone at 100 MB)
+SLICED_THRESHOLD_BYTES = 24 << 20
+
+
+def windowed_table(table: np.ndarray, max_probes: int) -> np.ndarray:
+    """(B, 24) bucket table → (B, 24·P) probe-window table where row b
+    holds buckets b..b+P-1 (mod B): one row gather covers the whole walk."""
+    table = np.asarray(table)
+    if max_probes <= 1:
+        return np.ascontiguousarray(table)
+    return np.ascontiguousarray(np.concatenate(
+        [np.roll(table, -i, axis=0) for i in range(max_probes)], axis=1))
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def _compare_window(rows, ql, qh, max_probes: int):
+    """Vectorized early-stop compare over a gathered (Q, 24·P) window.
+    Payloads are viewed as int32 (bit-identical: packed payloads keep bit
+    31 clear, and Mosaic/TPU reductions over unsigned ints are unsupported
+    anyway)."""
+    val = jnp.full(rows.shape[:-1], -1, jnp.int32)
+    for i in range(max_probes):
+        tlo = rows[..., i * ROW + 0 * BUCKET: i * ROW + 1 * BUCKET]
+        thi = rows[..., i * ROW + 1 * BUCKET: i * ROW + 2 * BUCKET]
+        tv = rows[..., i * ROW + 2 * BUCKET: i * ROW + 3 * BUCKET].astype(
+            jnp.int32)
+        hit = (tlo == ql[..., None]) & (thi == qh[..., None])
+        hv = jnp.sum(jnp.where(hit, tv, 0), axis=-1)
+        val = jnp.where((val < 0) & jnp.any(hit, axis=-1), hv, val)
+    return val
+
+
+@partial(jax.jit, static_argnames=("max_probes",))
+def probe_windowed(wtable, key_lo, key_hi, valid, max_probes: int):
+    """Plain gather walk on a windowed table (one gather per query).
+    Used directly for mid-size tables and as the sliced path's overflow
+    fallback; bit-identical to ops.hashtable.probe_table."""
+    nb = wtable.shape[0]
+    mask = jnp.uint32(nb - 1)
+    shape = key_lo.shape
+    lo = key_lo.reshape(-1)
+    hi = key_hi.reshape(-1)
+    b = (mix_kmer(lo, hi, jnp) & mask).astype(jnp.int32)
+    val = _compare_window(wtable[b], lo, hi, max_probes)
+    return jnp.where(valid.reshape(-1), val, -1).reshape(shape)
+
+
+@partial(jax.jit, static_argnames=("max_probes",))
+def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int):
+    """Sort-and-stream probe of a windowed table (the big-table hot path).
+
+    wtable: (B, 24·max_probes) uint32 from ``windowed_table`` (device-
+            resident; B a power of two)
+    key_lo/key_hi: (N,) uint32 query keys
+    valid:  (N,) bool — invalid queries return -1
+    returns (N,) int32 — stored payload, or -1 on miss/invalid
+    """
+    n = key_lo.shape[0]
+    nb = wtable.shape[0]
+    roww = wtable.shape[1]
+    s_rows = min(nb, MAX_SLICE_ROWS)
+    n_slices = nb // s_rows
+    # hash-uniform slice populations concentrate at n/G with std ~sqrt:
+    # 1.25× the mean is a huge margin, and every padded row is a wasted
+    # gather (the dominant cost), so keep the window tight
+    qwin = -(-max(1024, (5 * n) // (4 * n_slices)) // 1024) * 1024
+    mask = jnp.uint32(nb - 1)
+    b = (mix_kmer(key_lo, key_hi, jnp) & mask).astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    b_s, lo_s, hi_s, pos_s = jax.lax.sort((b, key_lo, key_hi, pos),
+                                          num_keys=1)
+    # pad reads to n+qwin: dynamic_slice CLAMPS a start near the end,
+    # which would shift the read window against the write position
+    b_p = jnp.concatenate([b_s, jnp.full(qwin, nb, jnp.int32)])
+    lo_p = jnp.concatenate([lo_s, jnp.zeros(qwin, jnp.uint32)])
+    hi_p = jnp.concatenate([hi_s, jnp.zeros(qwin, jnp.uint32)])
+    bounds = jnp.arange(n_slices + 1, dtype=jnp.int32) * s_rows
+    starts = jnp.searchsorted(b_s, bounds).astype(jnp.int32)
+    overflow = jnp.any(starts[1:] - starts[:-1] > qwin)
+
+    def fast(_):
+        def step(g, out):
+            start = starts[g]
+            lb = jax.lax.dynamic_slice(b_p, (start,), (qwin,)) - g * s_rows
+            ql = jax.lax.dynamic_slice(lo_p, (start,), (qwin,))
+            qh = jax.lax.dynamic_slice(hi_p, (start,), (qwin,))
+            sl = jax.lax.dynamic_slice(wtable, (g * s_rows, 0),
+                                       (s_rows, roww))
+            rows = sl[jnp.clip(lb, 0, s_rows - 1)]
+            val = _compare_window(rows, ql, qh, max_probes)
+            # windows overlap forward only: garbage tail beyond this
+            # slice's real count is rewritten by later (higher-g) steps
+            return jax.lax.dynamic_update_slice(out, val, (start,))
+
+        out_pad = jax.lax.fori_loop(
+            0, n_slices, step, jnp.full(n + qwin, -1, jnp.int32))
+        # restore original query order
+        _, out = jax.lax.sort((pos_s, out_pad[:n]), num_keys=1)
+        return out
+
+    def slow(_):
+        # qwin overflow (pathological duplicate skew): full gather walk
+        return _compare_window(wtable[b], key_lo, key_hi, max_probes)
+
+    out = jax.lax.cond(overflow, slow, fast, None)
+    return jnp.where(valid, out, -1)
+
+
+def pick_probe(table_bytes: int):
+    """True when a table of this size should use the sliced probe."""
+    return table_bytes > SLICED_THRESHOLD_BYTES

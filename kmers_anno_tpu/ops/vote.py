@@ -74,7 +74,15 @@ def split_packed_payload(val: jnp.ndarray):
 def weighted_vote_flat(roles: jnp.ndarray, weights: jnp.ndarray,
                        seg_ids: jnp.ndarray, valid: jnp.ndarray,
                        min_weight: jnp.ndarray, *, n_seqs: int):
-    """Weighted best-role vote over a flat token stream.
+    """Weighted best-role vote over a flat token stream (sort-based).
+
+    NOTE: kept as the shape-oblivious reference implementation for tests;
+    the engines route to weighted_vote_dense / weighted_vote_chunked
+    (large 1-D device sorts are slow, and this path accumulates tallies
+    in sorted-run order while the dense paths accumulate in scatter
+    order, so near-tie float tallies can disagree across paths — ADVICE
+    r2.  Using one family of paths in production removes that
+    shape-dependence).
 
     roles:    (T,) int32 role per kmer window, -1 = miss
     weights:  (T,) float32 weight per hit (ignored where miss/invalid)
@@ -136,5 +144,60 @@ def weighted_vote_dense(roles: jnp.ndarray, weights: jnp.ndarray,
             jnp.where(called, best, 0.0))
 
 
-# dense tally matrices beyond this many elements fall back to the sort path
+# dense tally matrices beyond this many elements use the chunked path
 DENSE_VOTE_LIMIT = 1 << 25
+
+
+@partial(jax.jit, static_argnames=("n_seqs", "n_roles", "r_blk"))
+def weighted_vote_chunked(roles: jnp.ndarray, weights: jnp.ndarray,
+                          seg_ids: jnp.ndarray, valid: jnp.ndarray,
+                          min_weight: jnp.ndarray, *, n_seqs: int,
+                          n_roles: int, r_blk: int):
+    """Dense weighted vote in role blocks, for huge role spaces.
+
+    When n_seqs × n_roles exceeds DENSE_VOTE_LIMIT a single dense tally
+    matrix would not fit; the sort-based fallback is known to be
+    pathologically slow on TPU (r2 finding).  This path sweeps the role
+    space in blocks of ``r_blk`` roles, computing a dense tally per block
+    and keeping a running (best tally, best role).  Ties: a strictly
+    greater tally is required to displace the incumbent, and jnp.argmax
+    takes the first maximum within a block, so equal tallies resolve to
+    the smallest role index — the same rule as the other vote paths.
+    """
+    hit = valid & (roles >= 0)
+    n_blocks = -(-n_roles // r_blk)
+
+    def body(i, carry):
+        best, brole = carry
+        base = i * r_blk
+        in_blk = hit & (roles >= base) & (roles < base + r_blk)
+        idx = jnp.where(in_blk, seg_ids * r_blk + (roles - base),
+                        n_seqs * r_blk)
+        tallies = jax.ops.segment_sum(
+            jnp.where(in_blk, weights, 0.0), idx,
+            num_segments=n_seqs * r_blk + 1)[:-1].reshape(n_seqs, r_blk)
+        bmax = jnp.max(tallies, axis=-1)
+        barg = jnp.argmax(tallies, axis=-1).astype(jnp.int32) + base
+        better = bmax > best
+        return (jnp.where(better, bmax, best),
+                jnp.where(better, barg, brole))
+
+    best, role = jax.lax.fori_loop(
+        0, n_blocks, body,
+        (jnp.zeros(n_seqs, jnp.float32), jnp.full(n_seqs, -1, jnp.int32)))
+    called = (best >= min_weight) & (best > 0.0)
+    return (jnp.where(called, role, -1),
+            jnp.where(called, best, 0.0))
+
+
+def pick_weighted_vote(n_seqs: int, n_roles: int):
+    """Route a weighted vote by shape: dense when the tally matrix fits,
+    chunked role blocks otherwise.  Never the sort-based path (r2: it can
+    hang the backend for minutes at large shapes)."""
+    if n_roles <= 0:
+        raise ValueError("weighted vote requires a known role count")
+    if n_seqs * n_roles <= DENSE_VOTE_LIMIT:
+        return partial(weighted_vote_dense, n_seqs=n_seqs, n_roles=n_roles)
+    r_blk = max(1, DENSE_VOTE_LIMIT // n_seqs)
+    return partial(weighted_vote_chunked, n_seqs=n_seqs, n_roles=n_roles,
+                   r_blk=r_blk)
