@@ -150,7 +150,7 @@ class ApplyKmerProcessor(BaseProcessor):
 
     def _run_mesh(self, signatures, genomes, reporter) -> None:
         from ..engine.mesh_apply import MeshApplyEngine
-        from ..parallel.distributed import maybe_init_distributed
+        from ..parallel.distributed import is_primary, maybe_init_distributed
 
         maybe_init_distributed()
         n_data, n_table = self.mesh_shape
@@ -165,8 +165,13 @@ class ApplyKmerProcessor(BaseProcessor):
 
         stream = (g for g, _ in prefetch_map(genomes.files,
                                              lambda n: (load(n), None)))
+        # every process computes identical allgathered results; only the
+        # primary writes the report (the reference emits exactly one)
+        primary = is_primary()
         for genome, calls in engine.call_genomes(stream):
             log.info("Processing genome %s.", genome)
+            if not primary:
+                continue
             reporter.open_genome(genome)
             for feat, role, count in calls:
                 reporter.record_feature(feat, role, count)

@@ -27,8 +27,10 @@ from __future__ import annotations
 import logging
 from typing import Iterable, Iterator
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..genome.gto import Genome, Feature
 from ..ops.encode import PROT_PAD
@@ -72,14 +74,68 @@ class MeshApplyEngine:
         self.capacity_factor = capacity_factor
         self.role_ids = signatures.role_ids
         self.mesh = make_mesh(n_data, n_table)
-        if mode == "replicated":
-            self.table, self.max_probes = signatures.device_table()
+        # multi-process layout: each process feeds process-LOCAL shards
+        # into global jax.Arrays (a plain numpy array into shard_map only
+        # works single-process), encodes only the data rows its devices
+        # own, and reads results back via a host allgather.
+        self.n_proc = jax.process_count()
+        grid = self.mesh.devices
+        if self.n_proc > 1:
+            row_proc = []
+            for i in range(n_data):
+                procs = {d.process_index for d in grid[i]}
+                if len(procs) != 1:
+                    raise ValueError(
+                        "multi-process meshes must keep each data row's "
+                        "table axis within one process "
+                        f"(row {i} spans processes {sorted(procs)})")
+                row_proc.append(procs.pop())
+            me = jax.process_index()
+            self.rows_mine = [i for i, p in enumerate(row_proc) if p == me]
+            first = self.rows_mine[0] if self.rows_mine else 0
+            if self.rows_mine != list(range(first,
+                                            first + len(self.rows_mine))):
+                raise ValueError("this process's data rows must be "
+                                 "contiguous in the mesh")
         else:
-            tables, self.max_probes = shard_signature_table(
+            self.rows_mine = list(range(n_data))
+        if mode == "replicated":
+            table_np, self.max_probes = signatures.device_table_np()
+        else:
+            table_np, self.max_probes = shard_signature_table(
                 signatures.key_lo, signatures.key_hi, signatures.role_idx,
                 n_table)
-            self.table = jnp.asarray(tables)
+        self.table = self._global(
+            table_np, P() if mode == "replicated" else P("table"))
         self._steps: dict = {}
+
+    # ----- process-local → global array plumbing -----
+
+    def _global(self, local: np.ndarray, spec: P) -> jax.Array:
+        """Assemble a global device array from this process's local data.
+        Single-process: a plain device_put.  Multi-process: every process
+        contributes its addressable shards (the full array for replicated
+        or table-sharded specs; its own data rows for data-sharded specs).
+        """
+        sharding = NamedSharding(self.mesh, spec)
+        if self.n_proc == 1:
+            return jax.device_put(local, sharding)
+        dims = spec + (None,) * (local.ndim - len(spec))
+        global_shape = tuple(
+            n * self.n_data // len(self.rows_mine)
+            if d == "data" else n
+            for n, d in zip(local.shape, dims))
+        return jax.make_array_from_process_local_data(
+            sharding, local, global_shape)
+
+    def _host(self, arr: jax.Array) -> np.ndarray:
+        """Global device array → full host array on every process."""
+        if self.n_proc == 1:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(
+            arr, tiled=True))
 
     # ----- step-compile cache (keyed on static shape args) -----
 
@@ -108,25 +164,31 @@ class MeshApplyEngine:
                    ) -> list[list[tuple[Feature, str, int]]]:
         prots = [[f.protein_translation for f in pegs]
                  for _, pegs in chunk]
+        # bucketed shapes are computed over the WHOLE chunk so every
+        # process agrees on the compiled program; only this process's own
+        # data rows are encoded (the expensive host work is partitioned)
         width = _bucket(max((sum(map(len, p)) for p in prots), default=1),
                         16384)
         n_seqs = _bucket(max((len(p) for p in prots), default=1), 256)
-        batches = [FlatBatch(p, self.k, min_tokens=width, min_seqs=n_seqs)
-                   for p in prots]
-        codes = np.full((self.n_data, width), PROT_PAD, np.uint8)
-        seg_ids = np.full((self.n_data, width), n_seqs, np.int32)
-        valid = np.zeros((self.n_data, width), bool)
-        for i, b in enumerate(batches):
-            codes[i], seg_ids[i], valid[i] = b.codes, b.seg_ids, b.valid
+        n_local = len(self.rows_mine)
+        codes = np.full((n_local, width), PROT_PAD, np.uint8)
+        seg_ids = np.full((n_local, width), n_seqs, np.int32)
+        valid = np.zeros((n_local, width), bool)
+        for j, i in enumerate(self.rows_mine):
+            if i < len(prots):
+                b = FlatBatch(prots[i], self.k, min_tokens=width,
+                              min_seqs=n_seqs)
+                codes[j], seg_ids[j], valid[j] = b.codes, b.seg_ids, b.valid
 
         if self.mode == "routed":
             roles, hits = self._run_routed(codes, seg_ids, valid, n_seqs)
         else:
             step = self._step(n_seqs, None)
-            r, h = step(self.table, jnp.asarray(codes),
-                        jnp.asarray(seg_ids), jnp.asarray(valid),
+            r, h = step(self.table, self._global(codes, P("data")),
+                        self._global(seg_ids, P("data")),
+                        self._global(valid, P("data")),
                         jnp.int32(self.min_hits))
-            roles, hits = np.asarray(r), np.asarray(h)
+            roles, hits = self._host(r), self._host(h)
 
         out = []
         for i, (_, pegs) in enumerate(chunk):
@@ -137,12 +199,13 @@ class MeshApplyEngine:
 
     def _run_routed(self, codes, seg_ids, valid, n_seqs):
         rows = [split_tokens_for_table_axis(
-                    codes[i], seg_ids[i], valid[i], self.n_table, self.k,
+                    codes[j], seg_ids[j], valid[j], self.n_table, self.k,
                     n_seqs, PROT_PAD)
-                for i in range(self.n_data)]
-        sc = jnp.asarray(np.stack([r[0] for r in rows]))
-        ss = jnp.asarray(np.stack([r[1] for r in rows]))
-        sv = jnp.asarray(np.stack([r[2] for r in rows]))
+                for j in range(codes.shape[0])]
+        spec = P("data", "table")
+        sc = self._global(np.stack([r[0] for r in rows]), spec)
+        ss = self._global(np.stack([r[1] for r in rows]), spec)
+        sv = self._global(np.stack([r[2] for r in rows]), spec)
         tc = sc.shape[-1]
         capacity = None
         if self.capacity_factor is not None:
@@ -156,7 +219,7 @@ class MeshApplyEngine:
             r, h, ovf = self._step(n_seqs, None)(
                 self.table, sc, ss, sv, jnp.int32(self.min_hits))
         assert int(ovf) == 0
-        return np.asarray(r), np.asarray(h)
+        return self._host(r), self._host(h)
 
     # ----- streaming driver -----
 

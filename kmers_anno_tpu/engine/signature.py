@@ -463,6 +463,14 @@ class SignatureTable:
             load_factor=load_factor)
         return jnp.asarray(table), max_probes
 
+    def device_table_np(self, load_factor: float = 0.5,
+                        packed_weights: bool = False):
+        """device_table, but returning the host numpy table (callers that
+        place arrays themselves, e.g. the multi-process mesh engine)."""
+        return build_table(
+            self.key_lo, self.key_hi, self._payloads(packed_weights),
+            load_factor=load_factor)
+
     def device_probe_table(self, load_factor: float = 0.5,
                            packed_weights: bool = False):
         """Like device_table, but auto-selects the big-table layout: tables

@@ -51,10 +51,11 @@ from .hashtable import BUCKET
 ROW = 3 * BUCKET          # uint32 words per bucket row
 MAX_SLICE_ROWS = 1 << 16  # 65536 rows/slice: 12.6 MB at max_probes 2,
                           # the top of the measured fast-gather zone
-# tables larger than this probe faster through the sliced path
-# (crossover measured on v5e: on-chip gather rate holds to ~13 MB,
-# halves by 25 MB, is 9× gone at 100 MB)
-SLICED_THRESHOLD_BYTES = 24 << 20
+# tables larger than this probe faster through the sliced path.
+# Measured on v5e: the plain gather holds ~530M rows/s to ~13 MB, ~210M
+# at 25 MB, ~120M at 100 MB, ~60M at 400 MB; the sliced path is a flat
+# ~78M lookups/s (sort-dominated), so the crossover sits near 50 MB.
+SLICED_THRESHOLD_BYTES = 48 << 20
 
 
 def windowed_table(table: np.ndarray, max_probes: int) -> np.ndarray:

@@ -52,7 +52,7 @@ def distributed_env(environ=None) -> dict | None:
         kwargs["num_processes"] = int(n)
     pid = pick("KAN_PROCESS_ID", "JAX_PROCESS_ID")
     if pid is not None:
-        kwargs["process_index"] = int(pid)
+        kwargs["process_id"] = int(pid)
     return kwargs
 
 
@@ -77,3 +77,13 @@ def maybe_init_distributed(environ=None) -> bool:
              "devices.", jax.process_index(), jax.process_count(),
              jax.local_device_count(), jax.device_count())
     return True
+
+
+def is_primary() -> bool:
+    """True on the process that should write reports (rank 0).  The
+    reference writes ONE report from its single JVM; in a multi-process
+    mesh every process computes identical (allgathered) results and only
+    the primary emits them."""
+    import jax
+
+    return jax.process_index() == 0

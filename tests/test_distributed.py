@@ -14,7 +14,7 @@ def test_kan_vars_win():
            "KAN_NUM_PROCESSES": "4", "KAN_PROCESS_ID": "2"}
     assert distributed_env(env) == {
         "coordinator_address": "10.0.0.1:1234",
-        "num_processes": 4, "process_index": 2}
+        "num_processes": 4, "process_id": 2}
 
 
 def test_jax_vars_and_autodetect():
