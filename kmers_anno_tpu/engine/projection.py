@@ -367,17 +367,27 @@ class ProjectionAnnotator:
         live = np.flatnonzero(cand & ~short)
 
         proposal_count = len(live)
-        for gi in live:
-            peg = pegs[g_peg[group_starts[group_id[gi]]]]
-            strand = "+" if l_strand[order[gi]] == 0 else "-"
-            whole = Location(index.contig_ids[int(s_contig[gi])], strand,
-                             int(s_left[gi]), int(best_edge_v[gi]))
-            found = proposals.propose(whole, peg.function,
-                                      int(evidence_v[gi]))
-            if found is not None and self.trace_function == peg.function:
+        # one vectorized extend+filter+dedup pass over all live candidates
+        # (counter- and result-identical to per-candidate propose calls)
+        cand_peg = g_peg[group_starts][group_id[live]]
+        peg_funcs = [f.function for f in pegs]
+        stored = proposals.propose_batch(
+            s_contig[live].astype(np.int64), index.contig_ids,
+            l_strand[order[live]].astype(np.int64),
+            s_left[live], best_edge_v[live], evidence_v[live],
+            cand_peg, peg_funcs)
+        if self.trace_function is not None:
+            for ci, prop in stored:
+                if prop.function != self.trace_function:
+                    continue
+                gi = live[ci]
+                peg = pegs[cand_peg[ci]]
+                whole = Location(index.contig_ids[int(s_contig[gi])],
+                                 "+" if l_strand[order[gi]] == 0 else "-",
+                                 int(s_left[gi]), int(best_edge_v[gi]))
                 log.info("Proposal stored using %s at location %s with "
                          "evidence %d and strength %s.", peg.id, whole,
-                         int(evidence_v[gi]), found.strength)
+                         int(evidence_v[gi]), prop.strength)
         log.info("%d peg/frame pairs examined, %d had too few kmers, "
                  "%d were too short, %d proposals were made.",
                  pegs_found, low_kmer, too_short, proposal_count)

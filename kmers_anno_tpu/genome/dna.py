@@ -135,6 +135,18 @@ class DnaTranslator:
         end = min(start + length, len(dna))
         region = dna[start:end].lower()
         n_codons = len(region) // 3
+        if n_codons >= 24 and "u" not in region:
+            # vectorized path: codes → codon ids → AA LUT (identical
+            # output; ambiguous bases → 'X' like the codon_map miss,
+            # and 'u' — which encode_dna folds to 't' but codon_map
+            # treats as unknown — falls back to the scalar path)
+            from ..ops.encode import encode_dna
+            codes = encode_dna(region[: 3 * n_codons]).astype(
+                np.int64).reshape(n_codons, 3)
+            ok = (codes < 4).all(axis=1)
+            ids = np.where(
+                ok, codes[:, 0] * 16 + codes[:, 1] * 4 + codes[:, 2], 64)
+            return self.code.aa_lut()[ids].tobytes().decode("ascii")
         cmap = self.code.codon_map
         out = []
         for i in range(n_codons):

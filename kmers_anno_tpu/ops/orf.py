@@ -148,6 +148,75 @@ class OrfExtender:
             return int(q) + 1, int(e) + 3
 
 
+    def extend_batch(self, contig_idx: np.ndarray, contig_ids: list,
+                     strands: np.ndarray, lefts: np.ndarray,
+                     rights: np.ndarray):
+        """Vectorized ``extend`` over candidate arrays (the projection
+        engine's proposal tail calls this once per close genome instead of
+        ~40k scalar extends).
+
+        contig_idx: (m,) int — index into contig_ids
+        strands:    (m,) int — 0 = '+', 1 = '-'
+        lefts/rights: (m,) int 1-based location edges
+        returns (ext_left (m,) int64, ext_right (m,) int64, ok (m,) bool)
+        — element-wise identical to ``extend`` (tests drive both).
+        """
+        m = len(lefts)
+        lefts = np.asarray(lefts, np.int64)
+        rights = np.asarray(rights, np.int64)
+        out_l = np.zeros(m, np.int64)
+        out_r = np.zeros(m, np.int64)
+        ok = np.zeros(m, bool)
+        length_ok = ((rights - lefts + 1) % 3) == 0
+        for ci in np.unique(np.asarray(contig_idx)):
+            scan = self._scan(contig_ids[ci])
+            sel_c = contig_idx == ci
+            if scan is None:
+                continue
+            n2 = len(scan.next_stop_plus)
+            if n2 == 0:
+                continue
+
+            def lut(arr, pos, valid):
+                return np.where(valid, arr[np.clip(pos, 0, n2 - 1)], -1)
+
+            sel = np.flatnonzero(sel_c & (strands == 0) & length_ok)
+            if len(sel):
+                pos = rights[sel]
+                q = lut(scan.next_stop_plus, pos, pos < n2)
+                p0 = _clamp_down_vec(lefts[sel] - 1, n2)
+                e = lut(scan.prev_event_plus, p0, p0 >= 0)
+                is_start = np.where(
+                    e >= 0, scan.plus_start[np.clip(e, 0, n2 - 1)], False)
+                good = (q >= 0) & is_start
+                out_l[sel] = e + 1
+                out_r[sel] = q + 3
+                ok[sel] = good
+            sel = np.flatnonzero(sel_c & (strands == 1) & length_ok)
+            if len(sel):
+                pos = _clamp_down_vec(lefts[sel] - 4, n2)
+                q = lut(scan.prev_stop_minus, pos, pos >= 0)
+                p0 = _clamp_up_vec(rights[sel] - 3)
+                e = lut(scan.next_event_minus, p0, p0 < n2)
+                is_start = np.where(
+                    e >= 0, scan.minus_start[np.clip(e, 0, n2 - 1)], False)
+                good = (q >= 0) & is_start
+                out_l[sel] = q + 1
+                out_r[sel] = e + 3
+                ok[sel] = good
+        return out_l, out_r, ok
+
+
+def _clamp_down_vec(pos: np.ndarray, n2: int) -> np.ndarray:
+    over = pos >= n2
+    return np.where(over, pos - 3 * ((pos - (n2 - 1) + 2) // 3), pos)
+
+
+def _clamp_up_vec(pos: np.ndarray) -> np.ndarray:
+    under = pos < 0
+    return np.where(under, pos + 3 * ((-pos + 2) // 3), pos)
+
+
 def _clamp_down(pos: int, n2: int) -> int:
     """Largest q <= pos with q < n2 and q ≡ pos (mod 3); may go negative."""
     if pos >= n2:
