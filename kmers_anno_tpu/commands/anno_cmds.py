@@ -10,7 +10,7 @@ import os
 from typing import IO
 
 from ..engine.annotation import Annotation, get_anno_map, iter_annotations
-from ..genome.sources import DirGenomeTarget, GenomeSource
+from ..genome.sources import GenomeSource, GenomeTarget
 from ..reports.annotation_reports import AnnotationReporter
 from ..utils.io import TabbedLineReader
 from ..utils.stats import SummaryStatistics, java_double
@@ -43,10 +43,14 @@ class ApplyAnnotationProcessor(BaseProcessor):
             raise FileNotFoundError(
                 f"Input genome source {self.inDir} does not exist.")
         self.genomes_in = GenomeSource.create(self.source_type, self.inDir)
-        if self.target_type.upper() != "DIR":
-            raise ParseFailureException(
-                f"unsupported genome target type {self.target_type!r}")
-        self.genomes_out = DirGenomeTarget(self.outDir, clear=self.clear)
+        # LIST / DNAFASTA are accepted like the reference enum does, even
+        # though those targets drop the applied annotations
+        # (ApplyAnnotationProcessor.java:33-34, 105)
+        try:
+            self.genomes_out = GenomeTarget.create(
+                self.target_type, self.outDir, clear=self.clear)
+        except ValueError as exc:
+            raise ParseFailureException(str(exc))
 
     def run_command(self) -> None:
         changes = SummaryStatistics()
@@ -76,6 +80,7 @@ class ApplyAnnotationProcessor(BaseProcessor):
                      "mean score %s and score deviation %s.", fid_count,
                      skip_count, local.n, local.mean, local.std)
             self.genomes_out.add(genome)
+        self.genomes_out.close()
         log.info("%d genomes processed. %d new annotations with mean "
                  "score %s and score deviation %s.", count, changes.n,
                  changes.mean, changes.std)

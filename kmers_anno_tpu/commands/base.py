@@ -54,9 +54,19 @@ class BaseProcessor:
         ns = parser.parse_args(args)
         for key, value in vars(ns).items():
             setattr(self, key, value)
+        level = logging.DEBUG if ns.verbose else logging.INFO
+        handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+        # reference logs to stderr AND a kmers.anno.log file in the working
+        # directory (logback.xml:4-16); KMERS_ANNO_LOG overrides the path,
+        # "off" disables the file ("" keeps the default name).
+        log_path = os.environ.get("KMERS_ANNO_LOG", "") or "kmers.anno.log"
+        if log_path.lower() != "off":
+            try:
+                handlers.append(logging.FileHandler(log_path, delay=True))
+            except OSError:
+                pass  # unwritable cwd: keep stderr only
         logging.basicConfig(
-            stream=sys.stderr,
-            level=logging.DEBUG if ns.verbose else logging.INFO,
+            level=level, handlers=handlers, force=True,
             format="%(asctime)s %(levelname)-5s %(name)s: %(message)s")
 
     def run(self) -> int:

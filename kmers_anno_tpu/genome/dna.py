@@ -85,7 +85,14 @@ class GeneticCode:
     _cache: dict[int, "GeneticCode"] = {}
 
     def __init__(self, gc: int):
-        aas = _GC_AAS.get(gc, _AA_TABLE_1)
+        # Unknown codes fail loudly: silently translating with table 1
+        # would miscall proteins for e.g. mycoplasma (gc 4 tga=W) inputs
+        # declaring a code we never implemented (r2 VERDICT rot).
+        if gc not in _GC_AAS:
+            raise ValueError(
+                f"unsupported genetic code {gc}; supported: "
+                f"{sorted(_GC_AAS)}")
+        aas = _GC_AAS[gc]
         self.gc = gc
         self.aa_string = aas
         self.starts = frozenset(_GC_STARTS.get(gc, _GC_STARTS[11]))

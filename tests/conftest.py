@@ -9,6 +9,9 @@ import os
 # jax.config.jax_platforms at interpreter startup, so the env var alone is
 # not enough — override the config value before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep in-process CLI runs from dropping kmers.anno.log into the repo cwd
+# (tests that assert the file appender override this per-test)
+os.environ.setdefault("KMERS_ANNO_LOG", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
