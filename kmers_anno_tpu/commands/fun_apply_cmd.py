@@ -39,13 +39,20 @@ class FunctionApplyProcessor(BaseProcessor):
     def validate_parms(self) -> None:
         self.require_dir(self.inDir, "Input directory")
         self.require_file(self.conversionFile, "Function-mapping file")
+        self.projector = None
         if self.projector_file is not None:
-            # SubsystemRuleProjector is part of the unmounted subsystems
-            # library; projection is not yet supported (SURVEY.md §2b
-            # SubsystemRuleProjector row: out of scope for v0).
-            raise ParseFailureException(
-                "--project is not supported yet; omit it to clear "
-                "subsystems instead")
+            # FunctionApplyProcessor.java:89-91: load the projector up
+            # front so a bad file fails before any genome is written
+            from ..genome.subsystems import (RuleError,
+                                             SubsystemRuleProjector)
+            self.require_file(self.projector_file, "Projector file")
+            log.info("Loading subsystem projector from %s.",
+                     self.projector_file)
+            try:
+                self.projector = SubsystemRuleProjector.load(
+                    self.projector_file)
+            except RuleError as exc:
+                raise ParseFailureException(str(exc))
         self.fun_map = FunctionMap()
         self.conversion: dict[str, str] = {}
         with TabbedLineReader(self.conversionFile) as reader:
@@ -85,8 +92,14 @@ class FunctionApplyProcessor(BaseProcessor):
             log.info("%d features found and %d changed.", n, changed)
             total += n
             changed_total += changed
-            log.info("Deleting subsystems in %s.", genome)
-            genome.clear_subsystems()
+            if self.projector is not None:
+                # FunctionApplyProcessor.java:172-174: re-project
+                # subsystems from the (possibly renamed) functions
+                log.info("Updating subsystems in %s.", genome)
+                self.projector.project(genome, active_only=True)
+            else:
+                log.info("Deleting subsystems in %s.", genome)
+                genome.clear_subsystems()
             genome.save(os.path.join(self.outDir, genome.id + ".gto"))
         log.info("All done.  %d genomes processed, %d features analyzed, "
                  "%d updated.", n_genomes, total, changed_total)
