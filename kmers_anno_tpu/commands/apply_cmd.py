@@ -92,18 +92,15 @@ class ApplyKmerProcessor(BaseProcessor):
             log.info("Kmer size is %d.", signatures.k)
             genomes = GenomeDirectory(self.inDir)
             log.info("%d genomes found in input directory.", len(genomes))
-            if self.weighted and (self.mesh_shape or
-                                  signatures.alphabet == "dna"):
-                raise ParseFailureException(
-                    "--weighted currently supports the single-device "
-                    "protein path only")
+            # the feature matrix composes: {protein, dna} × {unweighted,
+            # --weighted} × {single device, --mesh DxT}
             if signatures.alphabet == "dna":
-                if self.mesh_shape:
-                    raise ParseFailureException(
-                        "--mesh is not yet supported for DNA-mode tables")
                 log.info("DNA-mode table detected: annotating raw contigs "
                          "on both strands.")
-                self._run_dna(signatures, genomes, reporter)
+                if self.mesh_shape:
+                    self._run_dna_mesh(signatures, genomes, reporter)
+                else:
+                    self._run_dna(signatures, genomes, reporter)
             elif self.mesh_shape:
                 self._run_mesh(signatures, genomes, reporter)
             else:
@@ -135,7 +132,9 @@ class ApplyKmerProcessor(BaseProcessor):
         from ..engine.dna_apply import DnaApplyEngine
 
         engine = DnaApplyEngine(signatures, min_hits=self.min_hits,
-                                max_gap=self.max_gap)
+                                max_gap=self.max_gap,
+                                weighted=self.weighted,
+                                min_weight=self.min_weight)
 
         def load(name: str):
             genome = Genome.load(os.path.join(self.inDir, name))
@@ -156,7 +155,8 @@ class ApplyKmerProcessor(BaseProcessor):
         n_data, n_table = self.mesh_shape
         engine = MeshApplyEngine(
             signatures, n_data, n_table, min_hits=self.min_hits,
-            mode=self.table_mode, capacity_factor=self.capacity_factor)
+            mode=self.table_mode, capacity_factor=self.capacity_factor,
+            weighted=self.weighted, min_weight=self.min_weight)
         log.info("Mesh apply: data=%d × table=%d, %s table layout.",
                  n_data, n_table, engine.mode)
 
@@ -165,6 +165,32 @@ class ApplyKmerProcessor(BaseProcessor):
 
         stream = (g for g, _ in prefetch_map(genomes.files,
                                              lambda n: (load(n), None)))
+        self._report_mesh(engine, stream, reporter)
+
+    def _run_dna_mesh(self, signatures, genomes, reporter) -> None:
+        from ..engine.mesh_apply import DnaMeshApplyEngine
+        from ..parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed()
+        n_data, n_table = self.mesh_shape
+        engine = DnaMeshApplyEngine(
+            signatures, n_data, n_table, min_hits=self.min_hits,
+            max_gap=self.max_gap, weighted=self.weighted,
+            min_weight=self.min_weight)
+        log.info("DNA mesh apply: data=%d × table=%d (%s table).",
+                 n_data, n_table,
+                 "pmax-sharded" if n_table > 1 else "replicated")
+
+        def load(name: str):
+            return Genome.load(os.path.join(self.inDir, name))
+
+        stream = (g for g, _ in prefetch_map(genomes.files,
+                                             lambda n: (load(n), None)))
+        self._report_mesh(engine, stream, reporter)
+
+    def _report_mesh(self, engine, stream, reporter) -> None:
+        from ..parallel.distributed import is_primary
+
         # every process computes identical allgathered results; only the
         # primary writes the report (the reference emits exactly one)
         primary = is_primary()

@@ -94,13 +94,28 @@ class DnaContigBatch:
             self.valid[: len(flat)] = np.concatenate(valids)
 
 
-def cluster_hits(roles: np.ndarray, k: int, max_gap: int, min_hits: int
-                 ) -> list[tuple[int, int, int, int]]:
-    """Cluster hit windows of ONE stream entry.
+def split_payload_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side ops.vote.split_packed_payload: packed (fp16 weight, role)
+    probe payloads → (roles int32 with -1 preserved, weights float32)."""
+    miss = vals < 0
+    roles = np.where(miss, -1, vals & 0xFFFF).astype(np.int32)
+    bits = (vals.astype(np.uint32) >> np.uint32(16)).astype(np.uint16)
+    weights = bits.view(np.float16).astype(np.float32)
+    return roles, np.where(miss, 0.0, weights).astype(np.float32)
+
+
+def cluster_hits(roles: np.ndarray, k: int, max_gap: int, min_hits: int,
+                 weights: np.ndarray | None = None,
+                 min_weight: float = 0.0
+                 ) -> list[tuple[int, int, int, int | float]]:
+    """Cluster hit windows of ONE stream entry (fully vectorized).
 
     roles: (W,) int32 — role per window start, -1 = miss
-    returns [(first_window, last_window, role_idx, n_hits), ...] for
-    clusters with ≥ min_hits same-role hits, window starts ascending.
+    weights: optional (W,) float32 per-window hit weights — clusters then
+    score by summed weight and threshold on ``min_weight`` instead of the
+    hit count (the weighted-vote analogue for positional DNA calls).
+    returns [(first_window, last_window, role_idx, score), ...] with
+    window starts ascending; score is int hits or float weight sum.
     """
     hp = np.flatnonzero(roles >= 0)
     if len(hp) == 0:
@@ -109,26 +124,78 @@ def cluster_hits(roles: np.ndarray, k: int, max_gap: int, min_hits: int
     brk = np.flatnonzero((np.diff(hp) > max_gap) | (np.diff(hr) != 0))
     starts = np.concatenate([[0], brk + 1])
     ends = np.concatenate([brk, [len(hp) - 1]])
-    out = []
-    for s, e in zip(starts, ends):
-        n = int(e - s + 1)
-        if n >= min_hits:
-            out.append((int(hp[s]), int(hp[e]), int(hr[s]), n))
-    return out
+    if weights is None:
+        score = (ends - starts + 1).astype(np.int64)
+        keep = score >= min_hits
+        conv = int
+    else:
+        csum = np.concatenate([[0.0], np.cumsum(weights[hp],
+                                                dtype=np.float64)])
+        score = csum[ends + 1] - csum[starts]
+        keep = score >= min_weight
+        conv = lambda s: round(float(s), 4)
+    return [(int(hp[s]), int(hp[e]), int(hr[s]), conv(sc))
+            for s, e, sc in zip(starts[keep], ends[keep], score[keep])]
+
+
+def cluster_calls(genome: Genome, batch: "DnaContigBatch",
+                  vals: np.ndarray, k: int, max_gap: int, min_hits: int,
+                  role_ids: list[str], weighted: bool = False,
+                  min_weight: float = 0.0
+                  ) -> list[tuple[Feature, str, int | float]]:
+    """Host clustering of one genome's probed window stream.
+
+    vals: probed payloads over ``batch.codes`` positions — role indices,
+    or packed (weight, role) when ``weighted``.  Shared by the single-
+    device and mesh engines so their calls are identical by construction.
+    """
+    vals = np.asarray(vals)
+    if weighted:
+        roles, weights = split_payload_np(vals)
+    else:
+        roles, weights = vals, None
+    calls: list[tuple[Feature, str, int | float]] = []
+    n = 0
+    for cid, strand, off, length in batch.entries:
+        w = max(length - k + 1, 0)
+        for w0, w1, ridx, score in cluster_hits(
+                roles[off: off + w], k, max_gap, min_hits,
+                weights=None if weights is None else weights[off: off + w],
+                min_weight=min_weight):
+            if strand == "+":
+                left, right = w0 + 1, w1 + k
+            else:
+                left = length - w1 - k + 1
+                right = length - w0
+            n += 1
+            feat = Feature.create(
+                f"fig|{genome.id}.region.{n}", "", cid, strand,
+                left, right, ftype="region")
+            calls.append((feat, role_ids[ridx], score))
+    return calls
 
 
 class DnaApplyEngine:
-    """Annotates raw contigs against a DNA signature table."""
+    """Annotates raw contigs against a DNA signature table.
+
+    weighted=True probes packed (fp16 weight, role) payloads and clusters
+    threshold on summed hit weight ≥ ``min_weight`` (default: min_hits) —
+    the positional analogue of the weighted protein vote."""
 
     def __init__(self, signatures: SignatureTable, min_hits: int = 5,
-                 max_gap: int = 500):
+                 max_gap: int = 500, weighted: bool = False,
+                 min_weight: float | None = None):
         if signatures.alphabet != "dna":
             raise ValueError("DnaApplyEngine requires a DNA signature table")
         self.signatures = signatures
         self.k = signatures.k
         self.min_hits = min_hits
         self.max_gap = max_gap
-        self.table, self.max_probes = signatures.device_table()
+        self.weighted = weighted
+        self.min_weight = float(min_hits if min_weight is None
+                                else min_weight)
+        self.table, self.max_probes = signatures.device_table(
+            packed_weights=weighted)
         self.role_ids = signatures.role_ids
 
     def prepare(self, genome: Genome) -> DnaContigBatch:
@@ -137,32 +204,19 @@ class DnaApplyEngine:
             [(c.id, c.sequence) for c in genome.contigs], self.k)
 
     def call_prepared(self, genome: Genome, batch: DnaContigBatch
-                      ) -> list[tuple[Feature, str, int]]:
+                      ) -> list[tuple[Feature, str, int | float]]:
         """Device probe + host clustering on a prepared batch; returns
-        (region feature, role_id, hits) triples in contig order."""
-        roles = np.asarray(probe_dna_flat(
+        (region feature, role_id, score) triples in contig order."""
+        vals = np.asarray(probe_dna_flat(
             self.table, jnp.asarray(batch.codes), jnp.asarray(batch.valid),
             k=self.k, max_probes=self.max_probes))
-        calls: list[tuple[Feature, str, int]] = []
-        n = 0
-        for cid, strand, off, length in batch.entries:
-            w = max(length - self.k + 1, 0)
-            for w0, w1, ridx, hits in cluster_hits(
-                    roles[off: off + w], self.k, self.max_gap,
-                    self.min_hits):
-                if strand == "+":
-                    left, right = w0 + 1, w1 + self.k
-                else:
-                    left = length - w1 - self.k + 1
-                    right = length - w0
-                n += 1
-                feat = Feature.create(
-                    f"fig|{genome.id}.region.{n}", "", cid, strand,
-                    left, right, ftype="region")
-                calls.append((feat, self.role_ids[ridx], hits))
-        return calls
+        return cluster_calls(genome, batch, vals, self.k, self.max_gap,
+                             self.min_hits, self.role_ids,
+                             weighted=self.weighted,
+                             min_weight=self.min_weight)
 
-    def call_genome(self, genome: Genome) -> list[tuple[Feature, str, int]]:
-        """All called (region, role_id, hits) triples over both strands of
+    def call_genome(self, genome: Genome
+                    ) -> list[tuple[Feature, str, int | float]]:
+        """All called (region, role_id, score) triples over both strands of
         the genome's raw contigs."""
         return self.call_prepared(genome, self.prepare(genome))

@@ -20,6 +20,16 @@ A ``capacity_factor`` < worst-case trades routing-buffer size for a rare
 retry: the routed step reports a single overflow scalar, and an overflowed
 chunk is transparently re-run at the provably-safe capacity — results stay
 exact either way.
+
+The full feature matrix composes here (BASELINE configs 2/3/5):
+
+* ``weighted=True`` — packed (fp16 weight, role) payloads; replicated and
+  pmax modes vote after the local/pmax merge, the routed mode psum-merges
+  PARTIAL dense weight tallies over the table axis before the argmax.
+* DNA tables — ``DnaMeshApplyEngine`` shards the two-strand contig window
+  streams over ``data`` and (optionally) the table over ``table`` with the
+  per-position pmax merge; hits are clustered on the host exactly like the
+  single-device ``DnaApplyEngine`` (weighted clustering included).
 """
 
 from __future__ import annotations
@@ -33,11 +43,14 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..genome.gto import Genome, Feature
-from ..ops.encode import PROT_PAD
+from ..ops.encode import DNA_PAD, PROT_PAD
 from ..parallel.mesh import (make_mesh, replicated_apply_step,
-                             routed_apply_step, shard_signature_table,
-                             sharded_apply_step, split_tokens_for_table_axis)
+                             replicated_probe_step, routed_apply_step,
+                             shard_signature_table, sharded_apply_step,
+                             sharded_probe_step,
+                             split_tokens_for_table_axis)
 from .apply_engine import FlatBatch, _bucket
+from .dna_apply import DnaContigBatch, cluster_calls
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -56,28 +69,18 @@ def parse_mesh_spec(spec: str) -> tuple[int, int]:
     raise ValueError(f"bad mesh spec {spec!r}; expected DATAxTABLE, e.g. 4x2")
 
 
-class MeshApplyEngine:
-    """Annotates genome streams on a (data, table) device mesh."""
+class _MeshPlumbing:
+    """Shared (data, table) mesh + multi-process array plumbing.
 
-    def __init__(self, signatures: SignatureTable, n_data: int,
-                 n_table: int = 1, min_hits: int = 5, mode: str = "auto",
-                 capacity_factor: float | None = None):
-        if mode == "auto":
-            mode = "replicated" if n_table == 1 else "routed"
-        if n_table == 1 and mode != "replicated":
-            raise ValueError("sharded modes need a table axis > 1")
-        self.mode = mode
-        self.k = signatures.k
-        self.min_hits = min_hits
+    Each process feeds process-LOCAL shards into global jax.Arrays (a plain
+    numpy array into shard_map only works single-process), encodes only the
+    data rows its devices own, and reads results back via a host allgather.
+    """
+
+    def __init__(self, n_data: int, n_table: int):
         self.n_data = n_data
         self.n_table = n_table
-        self.capacity_factor = capacity_factor
-        self.role_ids = signatures.role_ids
         self.mesh = make_mesh(n_data, n_table)
-        # multi-process layout: each process feeds process-LOCAL shards
-        # into global jax.Arrays (a plain numpy array into shard_map only
-        # works single-process), encodes only the data rows its devices
-        # own, and reads results back via a host allgather.
         self.n_proc = jax.process_count()
         grid = self.mesh.devices
         if self.n_proc > 1:
@@ -99,17 +102,7 @@ class MeshApplyEngine:
                                  "contiguous in the mesh")
         else:
             self.rows_mine = list(range(n_data))
-        if mode == "replicated":
-            table_np, self.max_probes = signatures.device_table_np()
-        else:
-            table_np, self.max_probes = shard_signature_table(
-                signatures.key_lo, signatures.key_hi, signatures.role_idx,
-                n_table)
-        self.table = self._global(
-            table_np, P() if mode == "replicated" else P("table"))
         self._steps: dict = {}
-
-    # ----- process-local → global array plumbing -----
 
     def _global(self, local: np.ndarray, spec: P) -> jax.Array:
         """Assemble a global device array from this process's local data.
@@ -137,24 +130,62 @@ class MeshApplyEngine:
         return np.asarray(multihost_utils.process_allgather(
             arr, tiled=True))
 
+
+class MeshApplyEngine(_MeshPlumbing):
+    """Annotates genome streams on a (data, table) device mesh.
+
+    weighted=True swaps the unanimity vote for the weighted best-tally
+    vote (packed payloads; same results as KmerApplyEngine(weighted=True))
+    — composes with every mode including the routed large-table path.
+    """
+
+    def __init__(self, signatures: SignatureTable, n_data: int,
+                 n_table: int = 1, min_hits: int = 5, mode: str = "auto",
+                 capacity_factor: float | None = None,
+                 weighted: bool = False, min_weight: float | None = None):
+        if mode == "auto":
+            mode = "replicated" if n_table == 1 else "routed"
+        if n_table == 1 and mode != "replicated":
+            raise ValueError("sharded modes need a table axis > 1")
+        super().__init__(n_data, n_table)
+        self.mode = mode
+        self.k = signatures.k
+        self.alphabet = signatures.alphabet
+        self.min_hits = min_hits
+        self.weighted = weighted
+        self.min_weight = float(min_hits if min_weight is None
+                                else min_weight)
+        self.capacity_factor = capacity_factor
+        self.role_ids = signatures.role_ids
+        if mode == "replicated":
+            table_np, self.max_probes = signatures.device_table_np(
+                packed_weights=weighted)
+        else:
+            table_np, self.max_probes = shard_signature_table(
+                signatures.key_lo, signatures.key_hi,
+                signatures._payloads(weighted), n_table)
+        self.table = self._global(
+            table_np, P() if mode == "replicated" else P("table"))
+
+    def _thresh(self):
+        return (jnp.float32(self.min_weight) if self.weighted
+                else jnp.int32(self.min_hits))
+
     # ----- step-compile cache (keyed on static shape args) -----
 
     def _step(self, n_seqs: int, capacity: int | None):
         key = (self.mode, n_seqs, capacity)
         fn = self._steps.get(key)
         if fn is None:
+            kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=n_seqs,
+                      weighted=self.weighted, n_roles=len(self.role_ids),
+                      alphabet=self.alphabet)
             if self.mode == "replicated":
-                fn = replicated_apply_step(
-                    self.mesh, k=self.k, max_probes=self.max_probes,
-                    n_seqs=n_seqs)
+                fn = replicated_apply_step(self.mesh, **kw)
             elif self.mode == "pmax":
-                fn = sharded_apply_step(
-                    self.mesh, k=self.k, max_probes=self.max_probes,
-                    n_seqs=n_seqs)
+                fn = sharded_apply_step(self.mesh, **kw)
             else:
-                fn = routed_apply_step(
-                    self.mesh, k=self.k, max_probes=self.max_probes,
-                    n_seqs=n_seqs, capacity=capacity)
+                fn = routed_apply_step(self.mesh, capacity=capacity, **kw)
             self._steps[key] = fn
         return fn
 
@@ -186,13 +217,13 @@ class MeshApplyEngine:
             step = self._step(n_seqs, None)
             r, h = step(self.table, self._global(codes, P("data")),
                         self._global(seg_ids, P("data")),
-                        self._global(valid, P("data")),
-                        jnp.int32(self.min_hits))
+                        self._global(valid, P("data")), self._thresh())
             roles, hits = self._host(r), self._host(h)
 
+        conv = (lambda h: round(float(h), 4)) if self.weighted else int
         out = []
         for i, (_, pegs) in enumerate(chunk):
-            out.append([(feat, self.role_ids[r], int(h))
+            out.append([(feat, self.role_ids[r], conv(h))
                         for feat, r, h in zip(pegs, roles[i], hits[i])
                         if r >= 0])
         return out
@@ -212,12 +243,12 @@ class MeshApplyEngine:
             capacity = min(tc, int(np.ceil(
                 tc / self.n_table * self.capacity_factor)))
         step = self._step(n_seqs, capacity)
-        r, h, ovf = step(self.table, sc, ss, sv, jnp.int32(self.min_hits))
+        r, h, ovf = step(self.table, sc, ss, sv, self._thresh())
         if capacity is not None and int(ovf):
             log.info("Routing capacity %d overflowed; re-running chunk at "
                      "the safe bound %d.", capacity, tc)
             r, h, ovf = self._step(n_seqs, None)(
-                self.table, sc, ss, sv, jnp.int32(self.min_hits))
+                self.table, sc, ss, sv, self._thresh())
         assert int(ovf) == 0
         return self._host(r), self._host(h)
 
@@ -239,6 +270,99 @@ class MeshApplyEngine:
         for genome in genomes:
             pegs = [f for f in genome.pegs if f.protein_translation]
             chunk.append((genome, pegs))
+            if len(chunk) == self.n_data:
+                yield from flush()
+        yield from flush()
+
+
+class DnaMeshApplyEngine(_MeshPlumbing):
+    """DNA-mode annotation on a (data, table) mesh.
+
+    Each data row carries one genome's two-strand contig window stream
+    (``DnaContigBatch``); the probe returns per-WINDOW payloads because
+    DNA hits are clustered by position on the host (dna_apply semantics).
+    n_table == 1 replicates the table; n_table > 1 hash-shards it and
+    merges per-position results with pmax (``sharded_probe_step``) — the
+    positional analogue of the routed vote (which discards positions and
+    therefore cannot serve clustering).  Composes with weighted tables:
+    packed payloads come back per window and the host clustering thresholds
+    on summed hit weight.
+    """
+
+    def __init__(self, signatures: SignatureTable, n_data: int,
+                 n_table: int = 1, min_hits: int = 5, max_gap: int = 500,
+                 weighted: bool = False, min_weight: float | None = None):
+        if signatures.alphabet != "dna":
+            raise ValueError("DnaMeshApplyEngine requires a DNA table")
+        super().__init__(n_data, n_table)
+        self.k = signatures.k
+        self.min_hits = min_hits
+        self.max_gap = max_gap
+        self.weighted = weighted
+        self.min_weight = float(min_hits if min_weight is None
+                                else min_weight)
+        self.role_ids = signatures.role_ids
+        if n_table == 1:
+            table_np, self.max_probes = signatures.device_table_np(
+                packed_weights=weighted)
+        else:
+            table_np, self.max_probes = shard_signature_table(
+                signatures.key_lo, signatures.key_hi,
+                signatures._payloads(weighted), n_table)
+        self.table = self._global(
+            table_np, P() if n_table == 1 else P("table"))
+
+    def _step(self, width: int):
+        key = width
+        fn = self._steps.get(key)
+        if fn is None:
+            kw = dict(k=self.k, max_probes=self.max_probes, alphabet="dna")
+            fn = (replicated_probe_step(self.mesh, **kw)
+                  if self.n_table == 1
+                  else sharded_probe_step(self.mesh, **kw))
+            self._steps[key] = fn
+        return fn
+
+    def _run_chunk(self, chunk: list[tuple[Genome, DnaContigBatch]]
+                   ) -> list[list[tuple[Feature, str, int | float]]]:
+        width = _bucket(max((len(b.codes) for _, b in chunk), default=1),
+                        1 << 16)
+        n_local = len(self.rows_mine)
+        codes = np.full((n_local, width), DNA_PAD, np.uint8)
+        valid = np.zeros((n_local, width), bool)
+        for j, i in enumerate(self.rows_mine):
+            if i < len(chunk):
+                b = chunk[i][1]
+                codes[j, : len(b.codes)] = b.codes
+                valid[j, : len(b.valid)] = b.valid
+        vals = self._host(self._step(width)(
+            self.table, self._global(codes, P("data")),
+            self._global(valid, P("data"))))
+        out = []
+        for i, (genome, batch) in enumerate(chunk):
+            out.append(cluster_calls(
+                genome, batch, vals[i], self.k, self.max_gap,
+                self.min_hits, self.role_ids, weighted=self.weighted,
+                min_weight=self.min_weight))
+        return out
+
+    def call_genomes(self, genomes: Iterable[Genome]
+                     ) -> Iterator[tuple[Genome, list]]:
+        """Yield (genome, [(region feature, role_id, hits), …]) in input
+        order, grouping ``n_data`` genomes per device step."""
+        chunk: list[tuple[Genome, DnaContigBatch]] = []
+
+        def flush():
+            if not chunk:
+                return
+            for (genome, _), calls in zip(chunk, self._run_chunk(chunk)):
+                yield genome, calls
+            chunk.clear()
+
+        for genome in genomes:
+            batch = DnaContigBatch(
+                [(c.id, c.sequence) for c in genome.contigs], self.k)
+            chunk.append((genome, batch))
             if len(chunk) == self.n_data:
                 yield from flush()
         yield from flush()

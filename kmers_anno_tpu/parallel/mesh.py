@@ -41,11 +41,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.dna_kmers import pack_dna_windows
 from ..ops.hashing import mix_kmer
 from ..ops.hashtable import EMPTY, build_table, probe_table, table_size_for
 from ..ops.kmers import pack_kmer_windows
+from ..ops.vote import DENSE_VOTE_LIMIT, split_packed_payload
 
 _INT32_MAX = 2**31 - 1
+
+
+def _pack_windows(alphabet: str):
+    """Window packer for the table's alphabet ("prot" | "dna")."""
+    return pack_dna_windows if alphabet == "dna" else pack_kmer_windows
 
 
 def make_mesh(n_data: int, n_table: int = 1,
@@ -107,18 +114,82 @@ def _vote(roles, valid, seg_ids, min_hits, n_seqs):
     return jnp.where(called, rmax, -1), jnp.where(called, n_hits, 0)
 
 
+def _weighted_tally(payload, valid, seg_ids, n_seqs, n_roles, psum_axis,
+                    r_blk: int = 4096):
+    """Per-segment best (tally, role) from packed (weight, role) payloads.
+
+    When ``psum_axis`` is set the dense tallies are psum-merged over that
+    mesh axis BEFORE the argmax — the routed-probe partial-vote merge
+    (each table shard only sees the hits of the keys it owns; weighted
+    tallies, unlike unanimity, need the summed mass per (seg, role) before
+    any max is taken).  Dense when (n_seqs × n_roles) fits
+    DENSE_VOTE_LIMIT, role-blocked fori_loop otherwise (psum per block) —
+    the sort-based path is never used (r2: pathological on TPU).
+    """
+    roles, weights = split_packed_payload(payload)
+    hit = valid & (roles >= 0)
+    if n_seqs * n_roles <= DENSE_VOTE_LIMIT:
+        idx = jnp.where(hit, seg_ids * n_roles + roles, n_seqs * n_roles)
+        tallies = jax.ops.segment_sum(
+            jnp.where(hit, weights, 0.0), idx,
+            num_segments=n_seqs * n_roles + 1)[:-1].reshape(n_seqs, n_roles)
+        if psum_axis is not None:
+            tallies = jax.lax.psum(tallies, psum_axis)
+        return (jnp.max(tallies, axis=-1),
+                jnp.argmax(tallies, axis=-1).astype(jnp.int32))
+    n_blocks = -(-n_roles // r_blk)
+
+    def body(i, carry):
+        best, brole = carry
+        base = i * r_blk
+        in_blk = hit & (roles >= base) & (roles < base + r_blk)
+        idx = jnp.where(in_blk, seg_ids * r_blk + (roles - base),
+                        n_seqs * r_blk)
+        tallies = jax.ops.segment_sum(
+            jnp.where(in_blk, weights, 0.0), idx,
+            num_segments=n_seqs * r_blk + 1)[:-1].reshape(n_seqs, r_blk)
+        if psum_axis is not None:
+            tallies = jax.lax.psum(tallies, psum_axis)
+        bmax = jnp.max(tallies, axis=-1)
+        barg = jnp.argmax(tallies, axis=-1).astype(jnp.int32) + base
+        better = bmax > best   # ties keep the earlier (smaller) role
+        return (jnp.where(better, bmax, best),
+                jnp.where(better, barg, brole))
+
+    return jax.lax.fori_loop(
+        0, n_blocks, body,
+        (jnp.zeros(n_seqs, jnp.float32), jnp.full(n_seqs, -1, jnp.int32)))
+
+
+def _weighted_vote(payload, valid, seg_ids, min_weight, n_seqs, n_roles,
+                   psum_axis=None):
+    best, role = _weighted_tally(payload, valid, seg_ids, n_seqs, n_roles,
+                                 psum_axis)
+    called = (best >= min_weight) & (best > 0.0)
+    return (jnp.where(called, role, -1),
+            jnp.where(called, best, 0.0))
+
+
 def replicated_apply_step(mesh: Mesh, *, k: int, max_probes: int,
-                          n_seqs: int):
+                          n_seqs: int, weighted: bool = False,
+                          n_roles: int = 0, alphabet: str = "prot"):
     """Jitted apply step: table replicated, token batch sharded on ``data``.
 
     Returned fn signature: (table (B, 24), codes (D, T), seg_ids (D, T),
     valid (D, T), min_hits) → (roles (D, n_seqs), hits (D, n_seqs)) where D
     is the data-axis size (one flat token stream per data shard).
+    weighted=True: table payloads are packed (fp16 weight, role), the
+    threshold arg is a float32 min_weight, and hits are float32 tallies.
     """
-    def step(table, codes, seg_ids, valid, min_hits):
-        lo, hi = pack_kmer_windows(codes, k)
-        roles = probe_table(table, lo, hi, valid, max_probes)
-        return _vote(roles, valid, seg_ids, min_hits, n_seqs)
+    pack = _pack_windows(alphabet)
+
+    def step(table, codes, seg_ids, valid, thresh):
+        lo, hi = pack(codes, k)
+        val = probe_table(table, lo, hi, valid, max_probes)
+        if weighted:
+            return _weighted_vote(val, valid, seg_ids, thresh,
+                                  n_seqs, n_roles)
+        return _vote(val, valid, seg_ids, thresh, n_seqs)
 
     sharded = jax.shard_map(
         jax.vmap(step, in_axes=(None, 0, 0, 0, None)),
@@ -129,22 +200,32 @@ def replicated_apply_step(mesh: Mesh, *, k: int, max_probes: int,
     return jax.jit(sharded)
 
 
-def sharded_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int):
+def sharded_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
+                       weighted: bool = False, n_roles: int = 0,
+                       alphabet: str = "prot"):
     """Jitted apply step with the table sharded over the ``table`` axis.
 
     Returned fn signature: (tables (n_shards, B, 24), codes (D, T),
     seg_ids (D, T), valid (D, T), min_hits) → (roles (D, n_seqs),
     hits (D, n_seqs)).  Probe hits merge across shards with pmax; the vote
-    runs on the merged roles (replicated over the table axis).
+    runs on the merged roles (replicated over the table axis).  The pmax
+    merge is payload-agnostic: exactly one shard owns any key, packed
+    weighted payloads are non-negative (fp16 sign bit clear), and misses
+    (-1) lose the max — so the same merge serves weighted tables.
     """
-    def step(tables, codes, seg_ids, valid, min_hits):
+    pack = _pack_windows(alphabet)
+
+    def step(tables, codes, seg_ids, valid, thresh):
         # local shapes: tables (1, B, 24); codes/seg/valid (D/data, T)
         table = tables[0]
         def one(codes1, seg1, valid1):
-            lo, hi = pack_kmer_windows(codes1, k)
+            lo, hi = pack(codes1, k)
             local = probe_table(table, lo, hi, valid1, max_probes)
             merged = jax.lax.pmax(local, "table")
-            return _vote(merged, valid1, seg1, min_hits, n_seqs)
+            if weighted:
+                return _weighted_vote(merged, valid1, seg1, thresh,
+                                      n_seqs, n_roles)
+            return _vote(merged, valid1, seg1, thresh, n_seqs)
         return jax.vmap(one)(codes, seg_ids, valid)
 
     sharded = jax.shard_map(
@@ -194,7 +275,8 @@ def split_tokens_for_table_axis(codes: np.ndarray, seg_ids: np.ndarray,
 
 
 def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
-                      capacity: int | None = None):
+                      capacity: int | None = None, weighted: bool = False,
+                      n_roles: int = 0, alphabet: str = "prot"):
     """Jitted apply step routing kmers to their owner shard via all_to_all.
 
     Input layout (see ``split_tokens_for_table_axis``): the token stream of
@@ -207,8 +289,14 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
          overflow () int32 — 1 if any routing bucket overflowed
          ``capacity`` (results then undercount; re-run with a larger
          capacity).  Default capacity Tc is provably overflow-free.)
+
+    weighted=True: each shard reduces PARTIAL dense (seg, role) weight
+    tallies from its packed payloads; the global vote psum-merges tallies
+    over the ``table`` axis before the argmax (``_weighted_tally``) — the
+    weighted analogue of the unanimity psum/pmin/pmax merge.
     """
     n_table = mesh.shape["table"]
+    pack = _pack_windows(alphabet)
 
     def step(tables, codes, seg_ids, valid, min_hits):
         # local: tables (1, B, 24); codes/seg/valid (Dl, 1, Tc)
@@ -219,7 +307,7 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
         shard_ids = jnp.arange(n_table, dtype=jnp.int32)
 
         def pack_one(codes1, seg1, valid1):
-            lo, hi = pack_kmer_windows(codes1, k)
+            lo, hi = pack(codes1, k)
             h = mix_kmer(lo, hi, jnp)
             owner = jnp.where(valid1,
                               (h % jnp.uint32(n_table)).astype(jnp.int32),
@@ -248,12 +336,23 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
         rseg = jax.lax.all_to_all(bseg, "table", split_axis=1, concat_axis=1)
 
         rvalid = rlo != EMPTY   # no packed key has the top 2 bits set
-        roles = probe_table(table, rlo, rhi, rvalid, max_probes)
-        hit = rvalid & (roles >= 0)
-        d_local = roles.shape[0]
-        seg = jnp.where(hit, rseg, n_seqs).reshape(d_local, -1)
-        rflat = roles.reshape(d_local, -1)
-        hflat = hit.reshape(d_local, -1)
+        vals = probe_table(table, rlo, rhi, rvalid, max_probes)
+        d_local = vals.shape[0]
+        vflat = vals.reshape(d_local, -1)
+        sflat = rseg.reshape(d_local, -1)
+        mflat = rvalid.reshape(d_local, -1)
+        overflow = jax.lax.pmax(
+            jnp.any(ovf).astype(jnp.int32), ("data", "table"))
+
+        if weighted:
+            out_roles, out_hits = jax.vmap(
+                lambda v1, s1, m1: _weighted_vote(
+                    v1, m1, s1, min_hits, n_seqs, n_roles,
+                    psum_axis="table"))(vflat, sflat, mflat)
+            return out_roles, out_hits, overflow
+
+        hit = mflat & (vflat >= 0)
+        seg = jnp.where(hit, sflat, n_seqs)
 
         def tally_one(h1, r1, s1):
             n_hits = jax.ops.segment_sum(
@@ -265,7 +364,7 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
                 jnp.where(h1, r1, -1), s1, num_segments=n_seqs + 1)[:-1]
             return n_hits, rmin, rmax
 
-        n_hits, rmin, rmax = jax.vmap(tally_one)(hflat, rflat, seg)
+        n_hits, rmin, rmax = jax.vmap(tally_one)(hit, vflat, seg)
         # the vote is order-free (Q9): merge partial tallies collectively
         n_hits = jax.lax.psum(n_hits, "table")
         rmin = jax.lax.pmin(rmin, "table")
@@ -274,8 +373,6 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
         called = unanimous & (n_hits >= min_hits)
         out_roles = jnp.where(called, rmax, -1)
         out_hits = jnp.where(called, n_hits, 0)
-        overflow = jax.lax.pmax(
-            jnp.any(ovf).astype(jnp.int32), ("data", "table"))
         return out_roles, out_hits, overflow
 
     sharded = jax.shard_map(
@@ -284,5 +381,64 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
         in_specs=(P("table"), P("data", "table"), P("data", "table"),
                   P("data", "table"), P()),
         out_specs=(P("data"), P("data"), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# per-window probe steps (DNA mode: hits are clustered by POSITION on the
+# host, so the mesh must return the full probed stream, not a per-segment
+# vote)
+# ---------------------------------------------------------------------------
+
+def replicated_probe_step(mesh: Mesh, *, k: int, max_probes: int,
+                          alphabet: str = "dna"):
+    """(table (B, 24), codes (D, T), valid (D, T)) → payloads (D, T) int32.
+
+    Table replicated, window streams sharded on ``data`` — data
+    parallelism over genomes/contigs for the positional (DNA) probe.
+    """
+    pack = _pack_windows(alphabet)
+
+    def step(table, codes, valid):
+        lo, hi = pack(codes, k)
+        return probe_table(table, lo, hi, valid, max_probes)
+
+    sharded = jax.shard_map(
+        jax.vmap(step, in_axes=(None, 0, 0)),
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def sharded_probe_step(mesh: Mesh, *, k: int, max_probes: int,
+                       alphabet: str = "dna"):
+    """Per-window probe with the table hash-sharded over ``table``.
+
+    (tables (n_shards, B, 24), codes (D, T), valid (D, T)) → (D, T) int32.
+    Every shard probes the full (table-replicated) stream against its
+    sub-table; exactly one shard owns any key, so a pmax over the table
+    axis merges per-POSITION results — positions survive the merge, which
+    the routed vote deliberately discards.  Table memory ÷ n_shards.
+    """
+    pack = _pack_windows(alphabet)
+
+    def step(tables, codes, valid):
+        table = tables[0]
+
+        def one(codes1, valid1):
+            lo, hi = pack(codes1, k)
+            local = probe_table(table, lo, hi, valid1, max_probes)
+            return jax.lax.pmax(local, "table")
+
+        return jax.vmap(one)(codes, valid)
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("table"), P("data"), P("data")),
+        out_specs=P("data"),
         check_vma=False)
     return jax.jit(sharded)
