@@ -57,6 +57,14 @@ def _pack(codes, k: int):
 # dense (prototypes × proteins) chunks are capped at this many cells
 DENSE_CELLS = 1 << 24
 
+# owner-matrix width cap: one highly duplicated protein family (dozens of
+# identical transposase copies sharing every kmer) would otherwise inflate
+# the (U, cap) matrix genome-wide to multi-GB (ADVICE r2).  Kmers with more
+# owners keep their first OWNER_CAP in the device matrix; the overflow
+# owners live in a host CSR and are added to the common-count matrix after
+# the device step (it returns to the host for float64 Jaccard anyway).
+OWNER_CAP = 32
+
 
 @partial(jax.jit, static_argnames=("n_prot", "n_proto"))
 def _chunk_commons(owner_mat, ranks, proto_of, *, n_prot: int,
@@ -237,15 +245,32 @@ class GenomeProteinKmers:
             # a probe hit into owners.  Rows and protein count are padded
             # to power-of-two buckets so _chunk_scores compiles O(log n)
             # programs across genomes, not one per genome.
-            cap = int(ucounts.max(initial=1))
+            cap = min(int(ucounts.max(initial=1)), OWNER_CAP)
             self.n_pad = _bucket(n, 256)
             u_pad = _bucket(u, 4096)
             owner_mat = np.full((u_pad, cap), self.n_pad, np.int32)
             rows = np.repeat(np.arange(u), ucounts)
             cols = np.arange(len(rows)) - np.repeat(
                 np.cumsum(ucounts) - ucounts, ucounts)
-            owner_mat[rows, cols] = sown[: len(rows)]
+            in_cap = cols < cap
+            owner_mat[rows[in_cap], cols[in_cap]] = sown[: len(rows)][in_cap]
             self.owner_mat = jnp.asarray(owner_mat)
+            # host CSR of the overflow owners (ranks sorted; usually empty)
+            over = ~in_cap
+            if over.any():
+                h_ranks, h_counts = np.unique(rows[over],
+                                              return_counts=True)
+                self.heavy_ranks = h_ranks.astype(np.int32)
+                self.heavy_off = np.concatenate(
+                    [[0], np.cumsum(h_counts)]).astype(np.int64)
+                self.heavy_owners = sown[: len(rows)][over].astype(np.int32)
+                log.info("%d kmers exceed the owner cap %d (%d overflow "
+                         "owner entries on the host CSR path).",
+                         len(h_ranks), cap, len(self.heavy_owners))
+            else:
+                self.heavy_ranks = np.zeros(0, np.int32)
+                self.heavy_off = np.zeros(1, np.int64)
+                self.heavy_owners = np.zeros(0, np.int32)
             table, self.max_probes = build_table(
                 slo[starts], shi[starts],
                 np.arange(u, dtype=np.uint32))
@@ -293,6 +318,22 @@ class GenomeProteinKmers:
         common = np.asarray(_chunk_commons(
             self.owner_mat, ranks, d_proto,
             n_prot=self.n_pad, n_proto=n_proto))[: len(protos), : n_prot]
+        if len(self.heavy_owners):
+            # owners beyond OWNER_CAP: host CSR add onto the common matrix
+            r = np.asarray(ranks)
+            p = np.asarray(d_proto)
+            pos = np.flatnonzero((r >= 0) & (p < len(protos))
+                                 & np.isin(r, self.heavy_ranks))
+            if len(pos):
+                hidx = np.searchsorted(self.heavy_ranks, r[pos])
+                lens = self.heavy_off[hidx + 1] - self.heavy_off[hidx]
+                # CSR slice concatenation without a Python loop
+                flat = (np.repeat(self.heavy_off[hidx], lens)
+                        + np.arange(int(lens.sum()))
+                        - np.repeat(np.cumsum(lens) - lens, lens))
+                np.add.at(common,
+                          (np.repeat(p[pos], lens),
+                           self.heavy_owners[flat]), 1)
         # exact float64 Jaccard + first-max argmax (Java-double parity)
         n1 = self.protein_kmer_counts[None, :]
         union = n1 + n2[: len(protos), None] - common

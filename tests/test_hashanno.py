@@ -167,3 +167,32 @@ def test_cli_hash_anno_apply_check_list(genome, tmp_path):
     nlines = open(new_roles).read().splitlines()
     # only hypothetical→changed rows qualify
     assert all("hypothetical protein" in ln for ln in nlines[1:])
+
+
+def test_owner_cap_overflow_matches_uncapped(genome, monkeypatch):
+    """A kmer shared by MORE proteins than OWNER_CAP must still count every
+    owner: overflow owners ride the host CSR path (ADVICE r2 — a duplicated
+    transposase family would otherwise blow up the dense owner matrix)."""
+    import kmers_anno_tpu.engine.hashanno as ha
+
+    rng = random.Random(9)
+    shared = random_protein(rng, 30)     # one family core > any tiny cap
+    # 12 proteins all containing the shared core plus unique flanks
+    prots = [(f"fig|1.1.peg.{i}",
+              random_protein(rng, 10) + shared + random_protein(rng, 10),
+              f"old {i}") for i in range(12)]
+    protos = [Prototype(shared, "family anno"),
+              Prototype(prots[3][1], "exact anno")]
+
+    def run():
+        gk = GenomeProteinKmers(K, MIN_SCORE)
+        for fid, p, old in prots:
+            gk.add_protein(fid, p, old)
+        gk.process_proposals(protos)
+        return [gk.get_proposal(protein_md5(p)) for _, p, _ in prots]
+
+    want = run()                          # default cap (32 ≥ 12: no CSR)
+    monkeypatch.setattr(ha, "OWNER_CAP", 2)
+    got = run()                           # every shared kmer overflows
+    assert got == want
+    assert all(sim > 0 for sim, _ in got)   # comparison is not vacuous
