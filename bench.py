@@ -315,29 +315,55 @@ def bench_dna(rng):
 
 def bench_build(rng):
     """Timed 50M-occurrence streaming signature build (SURVEY §7 hard
-    part 5; BuildKmerProcessor.java:137-223 at scale)."""
-    from kmers_anno_tpu.engine.signature import StreamingTableBuilder
+    part 5; BuildKmerProcessor.java:137-223 at scale).
 
-    n_occ = 50_000_000
-    chunk = 4_000_000
+    Times the FULL build pipeline on real protein text: flat-stream
+    encode (C++ loader) → vectorized window pack → bounded-memory
+    streaming sort group-by, i.e. the same stages ``build`` runs per
+    genome (engine.signature._flat_protein_keys + StreamingTableBuilder).
+    """
+    from kmers_anno_tpu.engine.signature import (StreamingTableBuilder,
+                                                 _flat_protein_keys)
+
+    prot_len = 400
+    n_prots = 125_000               # ≥ 50M kmer windows of text
+    n_occ = n_prots * (prot_len - K + 1)
+    # synthetic proteome as one byte blob sliced into strings (untimed)
+    aa = np.frombuffer(AA.encode(), np.uint8)
+    blob = aa[rng.integers(0, len(aa), n_prots * prot_len)].tobytes()
+    prots = [blob[i * prot_len:(i + 1) * prot_len].decode()
+             for i in range(n_prots)]
+    prot_role = rng.integers(0, N_ROLES, n_prots).astype(np.int32)
+
+    chunk = 10_000                  # proteins per streamed genome batch
     t0 = time.perf_counter()
     b = StreamingTableBuilder()
-    done = 0
-    while done < n_occ:
-        n = min(chunk, n_occ - done)
-        lo = rng.integers(0, 1 << 30, n, dtype=np.int64).astype(np.uint32)
-        hi = rng.integers(0, 1 << 28, n, dtype=np.int64).astype(np.uint32)
-        role = rng.integers(0, N_ROLES, n).astype(np.int32)
-        b.add_candidates(lo, hi, role)
-        done += n
-    klo = rng.integers(0, 1 << 30, chunk, dtype=np.int64).astype(np.uint32)
-    khi = rng.integers(0, 1 << 28, chunk, dtype=np.int64).astype(np.uint32)
+    for i in range(0, n_prots, chunk):
+        batch = prots[i: i + chunk]
+        lo, hi, seg = _flat_protein_keys(batch, K)
+        b.add_candidates(lo, hi, prot_role[i: i + chunk][seg])
+    klo, khi, _ = _flat_protein_keys(prots[:chunk], K)  # kill pass sample
     b.add_kills(klo, khi)
     lo, hi, role, stats = b.finish()
-    dt = time.perf_counter() - t0
+    t_build = time.perf_counter() - t0
+
+    # binary table save + load round-trip at scale
+    from kmers_anno_tpu.engine.signature import SignatureTable
+    import tempfile
+    table = SignatureTable(k=K, key_lo=lo, key_hi=hi, role_idx=role,
+                           role_ids=[f"Role{r}" for r in range(N_ROLES)])
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        t1 = time.perf_counter()
+        table.save_binary(f.name)
+        t_save = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        SignatureTable.load(f.name)
+        t_load = time.perf_counter() - t1
     return dict(occurrences=n_occ, unique=stats["unique"],
-                survivors=len(lo), build_s=round(dt, 1),
-                occurrences_per_s=round(n_occ / dt, 0))
+                survivors=len(lo), build_s=round(t_build, 1),
+                occurrences_per_s=round(n_occ / t_build, 0),
+                save_s=round(t_save, 2), load_s=round(t_load, 2),
+                pipeline="encode+pack+stream-groupby (C++ loader)")
 
 
 def bench_projection(rng):

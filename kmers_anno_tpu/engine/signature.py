@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..genome.gto import Genome
 from ..genome.roles import RoleMap
 from ..ops.dna_kmers import (DNA_MAX_K, DNA_MIN_K, pack_dna_np,
@@ -546,6 +547,41 @@ def _peg_keys(genome: Genome, peg, k: int, alphabet: str
     return pack_kmers_np(encode_protein(prot), k)
 
 
+def _flat_protein_keys(prots: list[str], k: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Packed kmer keys of a protein batch over ONE flat token stream.
+
+    Feeds the C++ data loader (native.flat_batch) when available and packs
+    all windows with one vectorized pass — the build-side counterpart of
+    the apply path's FlatBatch (a per-peg Python pack loop was the r2
+    build bottleneck).  returns (lo, hi, seg): every in-protein window's
+    key plus the index of the protein it came from.
+    """
+    if not prots:
+        z = np.zeros(0, np.uint32)
+        return z, z, np.zeros(0, np.int32)
+    total = sum(map(len, prots))
+    width = total + k   # tail pad so the window pack covers every start
+    got = native.flat_batch(prots, k, width, -1)
+    if got is not None:
+        codes, seg, valid = got
+    else:
+        codes = np.full(width, 0, np.uint8)
+        seg = np.full(width, -1, np.int32)
+        valid = np.zeros(width, bool)
+        pos = 0
+        for i, p in enumerate(prots):
+            ln = len(p)
+            codes[pos: pos + ln] = encode_protein(p)
+            seg[pos: pos + ln] = i
+            if ln >= k:
+                valid[pos: pos + ln - k + 1] = True
+            pos += ln
+    lo, hi = pack_kmers_np(codes, k)
+    v = valid[: len(lo)]
+    return lo[v], hi[v], seg[: len(lo)][v]
+
+
 def compute_weights(role_idx: np.ndarray, mode: str) -> np.ndarray | None:
     """Per-kmer weights for the weighted-vote extension.
 
@@ -601,17 +637,29 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
         gk_hi: list[np.ndarray] = []
         n_interesting = 0
         n_buffered = 0
+        i_prots: list[str] = []      # protein mode: batch the encode
+        i_ridx: list[int] = []
+        k_prots: list[str] = []
         for peg in genome.pegs:
-            keys = _peg_keys(genome, peg, k, alphabet)
-            if keys is None:
-                continue
+            if alphabet == "prot":
+                prot = peg.protein_translation
+                if not prot or len(prot) < k:
+                    continue
+                keys = None
+            else:
+                keys = _peg_keys(genome, peg, k, alphabet)
+                if keys is None:
+                    continue
             peg_roles = [r for r in peg.get_useful_roles(role_map)
                          if r.id in good]
             if not peg_roles:
                 # kill-list protein (BuildKmerProcessor.java:160-164)
-                lo, hi = keys
-                gk_lo.append(lo)
-                gk_hi.append(hi)
+                if keys is None:
+                    k_prots.append(prot)
+                else:
+                    lo, hi = keys
+                    gk_lo.append(lo)
+                    gk_hi.append(hi)
                 n_buffered += 1
             elif len(peg_roles) == 1:
                 # sole interesting role (Q10)
@@ -620,11 +668,25 @@ def build_signatures(genomes: Iterable[Genome], role_map: RoleMap,
                 if ridx is None:
                     ridx = role_index[rid] = len(role_ids)
                     role_ids.append(rid)
-                lo, hi = keys
-                g_lo.append(lo)
-                g_hi.append(hi)
-                g_role.append(np.full(len(lo), ridx, np.int32))
+                if keys is None:
+                    i_prots.append(prot)
+                    i_ridx.append(ridx)
+                else:
+                    lo, hi = keys
+                    g_lo.append(lo)
+                    g_hi.append(hi)
+                    g_role.append(np.full(len(lo), ridx, np.int32))
                 n_interesting += 1
+        if i_prots:
+            # one flat-stream encode per genome (C++ loader + vector pack)
+            lo, hi, seg = _flat_protein_keys(i_prots, k)
+            g_lo.append(lo)
+            g_hi.append(hi)
+            g_role.append(np.asarray(i_ridx, np.int32)[seg])
+        if k_prots:
+            lo, hi, _ = _flat_protein_keys(k_prots, k)
+            gk_lo.append(lo)
+            gk_hi.append(hi)
         if g_lo:
             lo, hi, role = _dedup_pairs(
                 np.concatenate(g_lo), np.concatenate(g_hi),
