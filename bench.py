@@ -131,58 +131,73 @@ def _flat_stream(proteins):
 
 
 def bench_device(rng, protos, key_lo, key_hi, roles):
+    """The r4 row-layout fused step (engine.apply_engine.apply_rows):
+    pack → single-gather wide-bucket probe → row-reduce vote."""
     import jax
     import jax.numpy as jnp
-    from kmers_anno_tpu.engine.apply_engine import (apply_flat,
-                                                    apply_weighted_flat)
+    from kmers_anno_tpu.engine.apply_engine import (apply_rows,
+                                                    apply_rows_weighted)
+    from kmers_anno_tpu.ops.encode import PROT_PAD
     from kmers_anno_tpu.ops.hashtable import build_table
+    from kmers_anno_tpu.ops.widetable import build_wide_table
 
-    which0 = rng.integers(0, N_ROLES, size=N_PROTEINS)
+    width = 320  # PROT_LEN=300 bucketed (engine._bucket_width)
     batches = [make_proteins(rng, protos, N_PROTEINS,
                              rng.integers(0, N_ROLES, size=N_PROTEINS))
                for _ in range(N_BATCH)]
-    streams = [_flat_stream(p) for p in batches]
-    d_codes = jnp.asarray(np.stack([s[0] for s in streams]))
-    seg_ids = jnp.asarray(streams[0][1])   # identical across batches
-    d_valid = jnp.asarray(streams[0][2])
+    codes2d = np.full((N_BATCH, N_PROTEINS, width), PROT_PAD, np.uint8)
+    codes2d[:, :, :PROT_LEN] = np.stack(batches)
+    valid2d = np.zeros((N_PROTEINS, width), bool)
+    valid2d[:, : PROT_LEN - K + 1] = True
+    d_codes = jnp.asarray(codes2d)
+    d_valid = jnp.asarray(valid2d)
 
-    table, max_probes = build_table(key_lo, key_hi, roles.astype(np.uint32))
-    d_table = jnp.asarray(table)
+    wtab, salt, max_probes = build_wide_table(key_lo, key_hi,
+                                              roles.astype(np.uint32))
+    d_wtab = jnp.asarray(wtab)
+    d_salt = jnp.uint32(salt)
 
-    def step(table1, seg1, valid1, codes1):
-        return apply_flat(table1, codes1, seg1, valid1,
-                          jnp.int32(MIN_HITS), k=K, max_probes=max_probes,
-                          n_seqs=N_PROTEINS)
+    def step(table1, salt1, valid1, codes1):
+        return apply_rows(table1, salt1, codes1, valid1,
+                          jnp.int32(MIN_HITS), k=K, max_probes=max_probes)
 
     dt = _chain_time(step, (d_codes,), N_BATCH,
-                     consts=(d_table, seg_ids, d_valid))
+                     consts=(d_wtab, d_salt, d_valid))
 
     # called-count check on one batch (drives correctness + C++ parity)
-    role_out, _ = apply_flat(d_table, d_codes[0], seg_ids, d_valid,
+    role_out, _ = apply_rows(d_wtab, d_salt, d_codes[0], d_valid,
                              jnp.int32(MIN_HITS), k=K,
-                             max_probes=max_probes, n_seqs=N_PROTEINS)
+                             max_probes=max_probes)
     called = int((np.asarray(role_out) >= 0).sum())
 
-    # weighted best-tally vote over the same stream (config 2 shape)
+    # weighted best-tally vote over the same rows (config 2 shape)
     wbits = np.uint32(np.float16(1.0).view(np.uint16)) << np.uint32(16)
     wvals = wbits | roles.astype(np.uint32)
-    wtable, wmax_probes = build_table(key_lo, key_hi, wvals)
-    d_wtable = jnp.asarray(wtable)
+    wwtab, wsalt, wmax_probes = build_wide_table(key_lo, key_hi, wvals)
+    d_wwtab = jnp.asarray(wwtab)
+    d_wsalt = jnp.uint32(wsalt)
 
-    def wstep(table1, seg1, valid1, codes1):
-        return apply_weighted_flat(table1, codes1, seg1, valid1,
+    def wstep(table1, salt1, valid1, codes1):
+        return apply_rows_weighted(table1, salt1, codes1, valid1,
                                    jnp.float32(MIN_HITS), k=K,
-                                   max_probes=wmax_probes,
-                                   n_seqs=N_PROTEINS, n_roles=N_ROLES)
+                                   max_probes=wmax_probes)
 
     wdt = _chain_time(wstep, (d_codes,), N_BATCH,
-                      consts=(d_wtable, seg_ids, d_valid))
+                      consts=(d_wwtab, d_wsalt, d_valid))
 
-    lookups = int(streams[0][2].sum())
+    # the C++ single-core baseline probes the classic 8-slot layout
+    # (the compiled stand-in for Java's HashMap walk)
+    table8, max_probes8 = build_table(key_lo, key_hi,
+                                      roles.astype(np.uint32))
+
+    lookups = N_PROTEINS * (PROT_LEN - K + 1)
     return dict(seconds=dt, proteins_per_s=N_PROTEINS / dt,
                 lookups_per_s=lookups / dt,
+                padded_lookups=int(N_PROTEINS * width),
                 weighted_proteins_per_s=N_PROTEINS / wdt, called=called,
-                table=table, max_probes=max_probes, proteins=batches[0],
+                table=table8, max_probes=max_probes8, proteins=batches[0],
+                wide_table_mb=round(wtab.nbytes / 1e6, 1),
+                wide_max_probes=max_probes,
                 platform=jax.devices()[0].platform,
                 device_kind=jax.devices()[0].device_kind)
 

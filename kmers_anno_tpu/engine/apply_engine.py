@@ -1,22 +1,29 @@
 """Signature-table annotation engine (the ``apply`` hot path).
 
 Replicates ApplyKmerProcessor.java:113-155 with the TPU-native dataflow of
-the BASELINE north star:
+the BASELINE north star.  Two device layouts:
 
-    host: concatenate a genome's proteins into ONE flat uint8 token stream
-          (with segment ids), padded to a static block size
-    device (one jitted program):
-          pack kmer windows → hash-probe the flat table → segmented
-          unanimous vote (Q9) → (called role, hit count) per protein
+**Row layout (default, r4).**  Proteins are length-sorted and encoded into
+2-D (rows, width) code matrices; the device step is
+
+    pack kmer windows → ONE row gather per window against the wide-bucket
+    table (ops.widetable, max_probes == 1) → per-row vote reductions
+
+Everything is lane-major VPU work with zero scatters: the r3 flat-stream
+step spent ~50% of its time in scatter-based ``jax.ops.segment_*`` votes
+and another ~40% in multi-round narrow-bucket gathers; this layout
+measures ~7× faster end to end on the 1M-entry headline shape.  Length
+sorting bounds padding waste (make_row_batches), and row/width buckets
+bound recompiles.
+
+**Flat-stream layout (big tables).**  Tables past the wide-table capacity
+(~3M keys) keep the r3 path: one flat token stream with segment ids,
+probed through the sort-and-stream sliced probe (ops.sliced_probe), with
+segmented votes.
 
 The Java inner loop walks kmers sequentially and aborts on the first
-conflicting role hit; the outcome is order-free (SURVEY.md §2c Q9), so the
-device reduction uses segmented min/max/sum — no scan, no data-dependent
-control flow, everything lands on the VPU with static shapes.
-
-Batch shapes are bucketed (token stream length and segment count rounded up
-to power-of-two-ish buckets) so XLA compiles a handful of programs per run
-regardless of genome sizes.
+conflicting role hit; the outcome is order-free (SURVEY.md §2c Q9), so
+both layouts reduce with min/max/sum — no data-dependent control flow.
 """
 
 from __future__ import annotations
@@ -34,7 +41,9 @@ from ..ops.encode import PROT_PAD, encode_protein
 from ..ops.hashtable import probe_table
 from ..ops.kmers import pack_kmer_windows
 from ..ops.sliced_probe import probe_table_sliced
-from ..ops.vote import pick_weighted_vote, split_packed_payload
+from ..ops.vote import (pick_weighted_vote, split_packed_payload,
+                        unanimous_vote, weighted_vote_rows)
+from ..ops.widetable import probe_wide
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -133,13 +142,121 @@ class FlatBatch:
         self.valid = valid
 
 
+# ---------------------------------------------------------------------------
+# row layout (the r4 fast path)
+# ---------------------------------------------------------------------------
+
+# coarse width buckets (≤ ~14% padding between steps); widths are multiples
+# of 32 so flattened (rows × width) stays lane-aligned with rows % 8 == 0
+_W_BUCKETS = [64, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512, 640,
+              768, 896, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 3584,
+              4096, 5120, 6144, 7168, 8192, 10240, 12288, 14336, 16384]
+_MAX_ROW_TOKENS = 1 << 22      # per-device-call token budget
+_MIN_SPLIT_ROWS = 64           # don't split batches smaller than this
+
+
+def _bucket_width(n: int) -> int:
+    for w in _W_BUCKETS:
+        if n <= w:
+            return w
+    return -(-n // 2048) * 2048
+
+
+@partial(jax.jit, static_argnames=("k", "max_probes"))
+def apply_rows(table, salt, codes, valid, min_hits, *,
+               k: int, max_probes: int):
+    """Row-layout unanimity apply step: ONE gather per kmer window.
+
+    table/salt: wide-bucket table (ops.widetable.build_wide_table)
+    codes: (rows, width) uint8 protein codes, PROT_PAD padding
+    valid: (rows, width) bool kmer-window validity
+    returns (role (rows,) int32 — called role or -1, hits (rows,) int32)
+    """
+    lo, hi = pack_kmer_windows(codes, k)
+    roles = probe_wide(table, lo, hi, valid, salt, max_probes=max_probes)
+    return unanimous_vote(roles, valid, min_hits)
+
+
+@partial(jax.jit, static_argnames=("k", "max_probes"))
+def apply_rows_weighted(table, salt, codes, valid, min_weight, *,
+                        k: int, max_probes: int):
+    """Row-layout weighted apply step: packed (weight, role) payloads and
+    the row-sort best-tally vote (ops.vote.weighted_vote_rows)."""
+    lo, hi = pack_kmer_windows(codes, k)
+    val = probe_wide(table, lo, hi, valid, salt, max_probes=max_probes)
+    roles, weights = split_packed_payload(val)
+    return weighted_vote_rows(roles, weights, valid, min_weight)
+
+
+class RowBatch:
+    """A (rows, width) padded batch of protein sequences (host side).
+
+    ``idx`` maps local row → caller protein index (batches are built from
+    length-sorted slices, so results must be scattered back)."""
+
+    __slots__ = ("codes", "valid", "idx", "n")
+
+    def __init__(self, proteins: list[str], k: int, idx: np.ndarray):
+        self.idx = idx
+        self.n = len(proteins)
+        width = _bucket_width(max(map(len, proteins)))
+        rows = -(-self.n // 8) * 8
+        got = native.row_batch(proteins, k, rows, width)
+        if got is not None:            # C++ data loader (kan_host.cpp)
+            self.codes, self.valid = got
+            return
+        codes = np.full((rows, width), PROT_PAD, np.uint8)
+        valid = np.zeros((rows, width), bool)
+        for i, prot in enumerate(proteins):
+            ln = len(prot)
+            codes[i, :ln] = encode_protein(prot)
+            if ln >= k:
+                valid[i, : ln - k + 1] = True
+        self.codes = codes
+        self.valid = valid
+
+
+def make_row_batches(proteins: list[str], k: int) -> list[RowBatch]:
+    """Split a protein list into length-homogeneous RowBatches.
+
+    Sorts by length, then greedily cuts a new batch when the padded token
+    count would exceed the per-call budget or padding waste would pass
+    ~30% — so probe work (∝ padded tokens) stays within a few percent of
+    the true token count while the number of device calls stays small.
+    """
+    lens = np.fromiter(map(len, proteins), np.int64, len(proteins))
+    order = np.argsort(lens, kind="stable")
+    batches: list[RowBatch] = []
+    i, n = 0, len(proteins)
+    while i < n:
+        j, real = i, 0
+        while j < n:
+            width = _bucket_width(int(lens[order[j]]))
+            rows = j - i + 1
+            if rows * width > _MAX_ROW_TOKENS and rows > 1:
+                break
+            if (rows > _MIN_SPLIT_ROWS
+                    and real + lens[order[j]] < 0.7 * rows * width):
+                break
+            real += int(lens[order[j]])
+            j += 1
+        sel = order[i:j]
+        batches.append(RowBatch([proteins[s] for s in sel], k, sel))
+        i = j
+    return batches
+
+
 class KmerApplyEngine:
     """Annotates genomes against a packed signature table.
 
     weighted=False (default) is the reference-exact unanimity vote
     (ApplyKmerProcessor.java:122-147); weighted=True enables the
     north-star weighted best-tally vote, calling a role when its summed
-    hit weights reach ``min_weight`` (default: min_hits)."""
+    hit weights reach ``min_weight`` (default: min_hits).
+
+    Tables within the wide-table capacity use the row layout; larger
+    tables use the flat-stream + sliced-probe layout (module docstring).
+    """
 
     def __init__(self, signatures: SignatureTable, min_hits: int = 5,
                  weighted: bool = False, min_weight: float | None = None):
@@ -149,11 +266,19 @@ class KmerApplyEngine:
         self.weighted = weighted
         self.min_weight = float(min_hits if min_weight is None
                                 else min_weight)
-        self.table, self.max_probes, self.sliced = (
-            signatures.device_probe_table(packed_weights=weighted))
         self.role_ids = signatures.role_ids
+        wide = signatures.device_wide_table(packed_weights=weighted)
+        if wide is not None:
+            self.mode = "wide"
+            self.table, self.salt, self.max_probes = wide
+        else:
+            self.mode = "flat"
+            self.table, self.max_probes, self.sliced = (
+                signatures.device_probe_table(packed_weights=weighted))
 
-    def _device_step(self, batch: "FlatBatch"):
+    # ----- device steps -----
+
+    def _flat_step(self, batch: FlatBatch):
         args = (self.table, jnp.asarray(batch.codes),
                 jnp.asarray(batch.seg_ids), jnp.asarray(batch.valid))
         kw = dict(k=self.k, max_probes=self.max_probes, n_seqs=batch.n_seqs,
@@ -164,37 +289,68 @@ class KmerApplyEngine:
                 n_roles=len(self.role_ids), **kw)
         return apply_flat(*args, jnp.int32(self.min_hits), **kw)
 
+    def _row_step(self, batch: RowBatch):
+        args = (self.table, self.salt, jnp.asarray(batch.codes),
+                jnp.asarray(batch.valid))
+        kw = dict(k=self.k, max_probes=self.max_probes)
+        if self.weighted:
+            return apply_rows_weighted(
+                *args, jnp.float32(self.min_weight), **kw)
+        return apply_rows(*args, jnp.int32(self.min_hits), **kw)
+
+    def _call_batches(self, n: int, prepared) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+        """Run prepared batches; returns (role, hits) in caller order."""
+        role = np.full(n, -1, np.int32)
+        hits = np.zeros(n, np.float32 if self.weighted else np.int32)
+        if isinstance(prepared, FlatBatch):
+            r, h = self._flat_step(prepared)
+            role[:] = np.asarray(r)[:n]
+            hits[:] = np.asarray(h)[:n]
+            return role, hits
+        outs = [self._row_step(b) for b in prepared]  # queue all steps
+        for batch, (r, h) in zip(prepared, outs):
+            role[batch.idx] = np.asarray(r)[: batch.n]
+            hits[batch.idx] = np.asarray(h)[: batch.n]
+        return role, hits
+
+    def _decode(self, role: np.ndarray, hits: np.ndarray):
+        conv = (lambda h: round(float(h), 4)) if self.weighted else int
+        return [(self.role_ids[r], conv(h)) if r >= 0 else None
+                for r, h in zip(role, hits)]
+
+    # ----- public API -----
+
     def call_proteins(self, proteins: list[str]
                       ) -> list[tuple[str, int] | None]:
         """Per protein: (role_id, unanimous hit count) or None when no role
         is called (miss / conflicting hits / below min_hits)."""
         if not proteins:
             return []
-        batch = FlatBatch(proteins, self.k)
-        role, hits = self._device_step(batch)
-        role = np.asarray(role)[: len(proteins)]
-        hits = np.asarray(hits)[: len(proteins)]
-        conv = (lambda h: round(float(h), 4)) if self.weighted else int
-        return [(self.role_ids[r], conv(h)) if r >= 0 else None
-                for r, h in zip(role, hits)]
+        role, hits = self._call_batches(
+            len(proteins), self._prepare_proteins(proteins))
+        return self._decode(role, hits)
 
-    def prepare(self, genome: Genome
-                ) -> tuple[list[Feature], FlatBatch | None]:
-        """Host-side prep (peg selection + flat-batch encode) — GIL-light,
-        safe to run in a prefetch worker thread."""
+    def _prepare_proteins(self, proteins: list[str]):
+        if self.mode == "wide":
+            return make_row_batches(proteins, self.k)
+        return FlatBatch(proteins, self.k)
+
+    def prepare(self, genome: Genome):
+        """Host-side prep (peg selection + batch encode) — GIL-light, safe
+        to run in a prefetch worker thread."""
         pegs = [f for f in genome.pegs if f.protein_translation]
         if not pegs:
             return pegs, None
-        return pegs, FlatBatch([f.protein_translation for f in pegs], self.k)
+        return pegs, self._prepare_proteins(
+            [f.protein_translation for f in pegs])
 
-    def call_prepared(self, pegs: list[Feature], batch: FlatBatch | None
+    def call_prepared(self, pegs: list[Feature], prepared
                       ) -> list[tuple[Feature, str, int]]:
         """Device step + decode on a prepared batch."""
-        if batch is None:
+        if prepared is None:
             return []
-        role, hits = self._device_step(batch)
-        role = np.asarray(role)[: len(pegs)]
-        hits = np.asarray(hits)[: len(pegs)]
+        role, hits = self._call_batches(len(pegs), prepared)
         conv = (lambda h: round(float(h), 4)) if self.weighted else int
         return [(feat, self.role_ids[r], conv(h))
                 for feat, r, h in zip(pegs, role, hits) if r >= 0]

@@ -472,6 +472,22 @@ class SignatureTable:
             self.key_lo, self.key_hi, self._payloads(packed_weights),
             load_factor=load_factor)
 
+    def device_wide_table(self, packed_weights: bool = False):
+        """Pack into the wide-bucket single-gather layout (ops.widetable)
+        — the r4 fast path: one row gather per lookup, ``max_probes``
+        almost always 1 via salt retry.
+
+        returns (table (rows, 72) uint32 jnp array, salt uint32 jnp
+        scalar, max_probes int), or None when the table is too large for
+        the single-gather fast zone (fall back to device_probe_table).
+        """
+        from ..ops.widetable import build_wide_table, fits_wide
+        if not fits_wide(len(self.key_lo)):
+            return None
+        table, salt, max_probes = build_wide_table(
+            self.key_lo, self.key_hi, self._payloads(packed_weights))
+        return (jnp.asarray(table), jnp.uint32(salt), max_probes)
+
     def device_probe_table(self, load_factor: float = 0.5,
                            packed_weights: bool = False):
         """Like device_table, but auto-selects the big-table layout: tables

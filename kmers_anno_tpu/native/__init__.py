@@ -74,6 +74,8 @@ def get_lib() -> ctypes.CDLL | None:
             c_char_p, i64p, i64, i64, i32, i32, u8p, i32p, u8p]
         lib.kan_flat_peg_batch.argtypes = [
             c_char_p, i64p, i64, i64, i32, u8p, i32p, i32p, i32p]
+        lib.kan_row_batch.argtypes = [
+            c_char_p, i64p, i64, i64, i64, i32, u8p, u8p]
         lib.kan_fasta_read.restype = ctypes.c_void_p
         lib.kan_fasta_read.argtypes = [c_char_p]
         for fn in (lib.kan_fasta_nseq, lib.kan_fasta_seqbytes,
@@ -113,6 +115,21 @@ def flat_batch(proteins: list[str], k: int, width: int, pad_seg: int
     lib.kan_flat_batch(concat, offsets, len(proteins), width, pad_seg, k,
                        codes, seg_ids, valid)
     return codes, seg_ids, valid.view(bool)
+
+
+def row_batch(proteins: list[str], k: int, n_rows: int, width: int
+              ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused RowBatch arrays (codes (n_rows, width) uint8, valid bool) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    concat, offsets = _concat_offsets(proteins)
+    codes = np.empty((n_rows, width), np.uint8)
+    valid = np.empty((n_rows, width), np.uint8)
+    lib.kan_row_batch(concat, offsets, len(proteins), n_rows, width, k,
+                      codes.reshape(-1), valid.reshape(-1))
+    return codes, valid.view(bool)
 
 
 def flat_peg_batch(proteins: list[str], width: int, pad_seg: int

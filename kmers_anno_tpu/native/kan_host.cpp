@@ -105,6 +105,28 @@ void kan_flat_batch(const char* concat, const int64_t* offsets,
   }
 }
 
+// Row-batch builder for the r4 2-D apply layout (engine/apply_engine.py):
+// sequence s is encoded into row s of a (n_rows, width) code matrix padded
+// with PROT_PAD, with the per-row kmer-window validity mask alongside.
+// Rows past n_seqs are all padding.  Caller guarantees len <= width.
+void kan_row_batch(const char* concat, const int64_t* offsets,
+                   int64_t n_seqs, int64_t n_rows, int64_t width,
+                   int32_t k, uint8_t* codes, uint8_t* valid) {
+  memset(codes, PROT_PAD, static_cast<size_t>(n_rows * width));
+  memset(valid, 0, static_cast<size_t>(n_rows * width));
+  for (int64_t s = 0; s < n_seqs; ++s) {
+    const int64_t lo = offsets[s];
+    int64_t len = offsets[s + 1] - lo;
+    if (len > width) len = width;
+    uint8_t* row = codes + s * width;
+    const char* src = concat + lo;
+    for (int64_t i = 0; i < len; ++i)
+      row[i] = kLuts.prot[static_cast<uint8_t>(src[i])];
+    if (len >= k)
+      memset(valid + s * width, 1, static_cast<size_t>(len - k + 1));
+  }
+}
+
 // Variant for the peg-singleton path (engine/projection.py): also emits the
 // position within each sequence and the broadcast sequence length.
 void kan_flat_peg_batch(const char* concat, const int64_t* offsets,

@@ -29,3 +29,31 @@ def mix_kmer(lo, hi, xp):
     """Hash of a packed kmer key pair → uint32."""
     u32 = xp.uint32
     return fmix32(lo ^ fmix32(hi ^ u32(GOLDEN), xp), xp)
+
+
+def mix_kmer_salted(lo, hi, salt, xp):
+    """Salted kmer hash → uint32.  ``salt`` is a uint32 scalar (host int or
+    traced device scalar); salt == GOLDEN reproduces ``mix_kmer`` exactly.
+
+    The salt exists for the wide-bucket table (ops.widetable): the build
+    retries salts until no bucket overflows its slots, which is what makes
+    the single-gather probe possible."""
+    u32 = xp.uint32
+    return fmix32(lo ^ fmix32(hi ^ u32(salt), xp), xp)
+
+
+def salt_sequence(n: int) -> list[int]:
+    """Deterministic salt candidates for the overflow-free table build;
+    the first is GOLDEN so unsalted and salted hashes usually agree.
+    Pure-Python wrap-around arithmetic (numpy uint32 scalars warn)."""
+    out = [GOLDEN]
+    x = GOLDEN
+    for _ in range(n - 1):
+        x = (x + 0x6A09E667) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * _M1) & 0xFFFFFFFF
+        x ^= x >> 13
+        x = (x * _M2) & 0xFFFFFFFF
+        x ^= x >> 16
+        out.append(x)
+    return out

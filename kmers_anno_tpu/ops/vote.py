@@ -144,6 +144,50 @@ def weighted_vote_dense(roles: jnp.ndarray, weights: jnp.ndarray,
             jnp.where(called, best, 0.0))
 
 
+@jax.jit
+def weighted_vote_rows(roles: jnp.ndarray, weights: jnp.ndarray,
+                       valid: jnp.ndarray, min_weight: jnp.ndarray):
+    """Weighted best-role vote on a 2-D row layout (the r4 fast path).
+
+    roles:   (B, L) int32 probed role per kmer window, -1 = miss
+    weights: (B, L) float32 hit weights
+    valid:   (B, L) bool window validity
+    min_weight: float32 scalar — minimum winning tally to call
+
+    Row-local algorithm, no scatter anywhere: sort each row by role (a
+    vectorized per-row sort), turn equal-role runs into tallies with a
+    row cumsum, and take the best run per row.  Equal tallies call the
+    smallest role index (runs are role-ascending and argmax takes the
+    first maximum), matching the other weighted paths.  Accumulation
+    order within a row is fixed (sorted-run cumsum), so results don't
+    depend on batch shape.
+
+    returns (role (B,) int32 — called role or -1,
+             tally (B,) float32 — winning tally, 0 when uncalled)
+    """
+    nrows = roles.shape[0]
+    hit = valid & (roles >= 0)
+    r = jnp.where(hit, roles, _INT32_MAX)
+    w = jnp.where(hit, weights, 0.0)
+    rs, ws = jax.lax.sort((r, w), dimension=-1, num_keys=1)
+    cw = jnp.cumsum(ws, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones((nrows, 1), jnp.bool_), rs[:, 1:] != rs[:, :-1]], axis=-1)
+    last = jnp.concatenate(
+        [rs[:, 1:] != rs[:, :-1], jnp.ones((nrows, 1), jnp.bool_)], axis=-1)
+    # cumsum just before each run start, forward-filled through the run
+    # (cw is nondecreasing, so cummax propagates the run's base correctly)
+    base = jax.lax.cummax(jnp.where(first, cw - ws, -1.0), axis=1)
+    tally = cw - base
+    cand = jnp.where(last & (rs != _INT32_MAX), tally, -1.0)
+    best = jnp.max(cand, axis=-1)
+    arg = jnp.argmax(cand, axis=-1)
+    role = jnp.take_along_axis(rs, arg[:, None], axis=-1)[:, 0]
+    called = (best >= min_weight) & (best > 0.0)
+    return (jnp.where(called, role, -1).astype(jnp.int32),
+            jnp.where(called, best, 0.0))
+
+
 # dense tally matrices beyond this many elements use the chunked path
 DENSE_VOTE_LIMIT = 1 << 25
 

@@ -123,9 +123,13 @@ def test_engine_auto_selects_sliced(monkeypatch, tmp_path):
         prots.append(body[:20] + protos[i % 40] + body[80:])
 
     plain = KmerApplyEngine(sig, min_hits=5).call_proteins(prots)
+    assert plain[0] is not None  # wide path sanity
+
+    from kmers_anno_tpu.ops import widetable
+    monkeypatch.setattr(widetable, "MAX_MU", 0.0)  # disable the wide path
     monkeypatch.setattr(sliced_probe, "SLICED_THRESHOLD_BYTES", 0)
     eng = KmerApplyEngine(sig, min_hits=5)
-    assert eng.sliced
+    assert eng.mode == "flat" and eng.sliced
     assert eng.call_proteins(prots) == plain
     assert sum(c is not None for c in plain) == 64
 
