@@ -176,8 +176,17 @@ class StreamingTableBuilder:
     memory is one padded sort per flush.
     """
 
-    def __init__(self, chunk_entries: int = 1 << 23):
+    def __init__(self, chunk_entries: int = 1 << 23,
+                 backend: str = "auto"):
+        """backend: "auto" = the C++ merge builder when available (the
+        single-host fast path — the device sorts compile for minutes at
+        build scale on some backends), "native" = require it, "device" =
+        force the JAX sort group-by (the distributed-build kernel)."""
         self.chunk_entries = chunk_entries
+        self._native = (native.make_builder()
+                        if backend in ("auto", "native") else None)
+        if backend == "native" and self._native is None:
+            raise RuntimeError("native builder unavailable")
         z = np.zeros(0, np.uint32)
         self.state: tuple[np.ndarray, np.ndarray, np.ndarray] = (
             z, z, np.zeros(0, np.int32))
@@ -190,6 +199,9 @@ class StreamingTableBuilder:
     def add_candidates(self, lo: np.ndarray, hi: np.ndarray,
                        role: np.ndarray) -> None:
         if len(lo):
+            if self._native is not None:
+                self._native.add_candidates(lo, hi, role)
+                return
             self._pend.append((lo, hi, role))
             self._pend_n += len(lo)
             if self._pend_n >= self.chunk_entries:
@@ -197,6 +209,9 @@ class StreamingTableBuilder:
 
     def add_kills(self, lo: np.ndarray, hi: np.ndarray) -> None:
         if len(lo):
+            if self._native is not None:
+                self._native.add_kills(lo, hi)
+                return
             self._pend_kill.append((lo, hi))
             self._pend_kill_n += len(lo)
             if self._pend_kill_n >= self.chunk_entries:
@@ -235,6 +250,11 @@ class StreamingTableBuilder:
     def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
         """Resolve everything: returns (lo, hi, role) of surviving
         discriminating kmers (sorted by key) + stats."""
+        if self._native is not None:
+            lo, hi, role, stats = self._native.finish()
+            self._native.close()
+            self._native = None
+            return lo, hi, role, stats
         self._flush()
         self._flush_kills()
         lo, hi, role = self.state

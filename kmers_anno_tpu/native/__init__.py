@@ -88,6 +88,13 @@ def get_lib() -> ctypes.CDLL | None:
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         lib.kan_apply_baseline.argtypes = [
             u8p, i64, i64, u32p, i64, i32, i32, i32, i32p]
+        lib.kan_build_new.restype = ctypes.c_void_p
+        lib.kan_build_add.argtypes = [ctypes.c_void_p, u32p, u32p, i32p, i64]
+        lib.kan_build_kills.argtypes = [ctypes.c_void_p, u32p, u32p, i64]
+        lib.kan_build_finish.restype = i64
+        lib.kan_build_finish.argtypes = [ctypes.c_void_p, i64p]
+        lib.kan_build_fill.argtypes = [ctypes.c_void_p, u32p, u32p, i32p]
+        lib.kan_build_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -168,6 +175,62 @@ def apply_baseline(codes: np.ndarray, table: np.ndarray, max_probes: int,
                            table.reshape(-1), table.shape[0],
                            max_probes, k, min_hits, out)
     return out
+
+
+class NativeBuilder:
+    """Handle wrapper for the C++ streaming signature builder
+    (kan_build_* in kan_host.cpp).  Same semantics as the device
+    group-by StreamingTableBuilder: sorted-unique state, CONFLICT (-2)
+    role tombstones, kill-list subtraction at finish."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._h = lib.kan_build_new()
+        if not self._h:
+            raise MemoryError("kan_build_new failed")
+
+    def add_candidates(self, lo, hi, role):
+        self._lib.kan_build_add(
+            self._h, np.ascontiguousarray(lo, np.uint32),
+            np.ascontiguousarray(hi, np.uint32),
+            np.ascontiguousarray(role, np.int32), len(lo))
+
+    def add_kills(self, lo, hi):
+        self._lib.kan_build_kills(
+            self._h, np.ascontiguousarray(lo, np.uint32),
+            np.ascontiguousarray(hi, np.uint32), len(lo))
+
+    def finish(self):
+        stats = np.zeros(3, np.int64)
+        n = self._lib.kan_build_finish(self._h, stats)
+        lo = np.empty(n, np.uint32)
+        hi = np.empty(n, np.uint32)
+        role = np.empty(n, np.int32)
+        self._lib.kan_build_fill(self._h, lo, hi, role)
+        return lo, hi, role, {"unique": int(stats[0]),
+                              "pruned": int(stats[1]),
+                              "killed": int(stats[2])}
+
+    def close(self):
+        if self._h:
+            self._lib.kan_build_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def make_builder() -> "NativeBuilder | None":
+    """A native streaming builder handle, or None (no native library)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return NativeBuilder(lib)
 
 
 def encode_protein(s: str) -> np.ndarray | None:

@@ -36,7 +36,8 @@ def oracle_resolve(chunks, kills):
             if r != CONFLICT and k not in killset}
 
 
-def test_streaming_flushes_match_oracle():
+@pytest.mark.parametrize("backend", ["auto", "device"])
+def test_streaming_flushes_match_oracle(backend):
     chunks = [_synthetic(4000, s) for s in range(5)]
     # force real conflicts: chunk 0's keys reappear with different roles
     lo0, hi0, r0 = chunks[0]
@@ -45,7 +46,7 @@ def test_streaming_flushes_match_oracle():
     chunks.append((lo0[500:900], hi0[500:900], r0[500:900]))
     kills = [(lo0[900:1000], hi0[900:1000])]
 
-    b = StreamingTableBuilder(chunk_entries=2048)  # many flushes
+    b = StreamingTableBuilder(chunk_entries=2048, backend=backend)
     for lo, hi, role in chunks:
         b.add_candidates(lo, hi, role)
     for lo, hi in kills:
@@ -61,10 +62,35 @@ def test_streaming_flushes_match_oracle():
     assert (np.diff(key.astype(np.int64)) > 0).all()
 
 
+def test_native_matches_device_builder():
+    """The C++ merge builder and the device sort group-by produce the
+    identical (keys, roles, stats) table on the same stream."""
+    from kmers_anno_tpu import native
+    if not native.available():
+        pytest.skip("native builder unavailable")
+    chunks = [_synthetic(6000, 20 + s) for s in range(4)]
+    lo0, hi0, r0 = chunks[0]
+    chunks.append((lo0[:700], hi0[:700], (r0[:700] + 3) % 50))
+    kills = [(lo0[800:1200], hi0[800:1200]), (chunks[1][0][:50],
+                                              chunks[1][1][:50])]
+    outs = []
+    for backend in ("native", "device"):
+        b = StreamingTableBuilder(chunk_entries=4096, backend=backend)
+        for lo, hi, role in chunks:
+            b.add_candidates(lo, hi, role)
+        for lo, hi in kills:
+            b.add_kills(lo, hi)
+        outs.append(b.finish())
+    (nlo, nhi, nrole, nstats), (dlo, dhi, drole, dstats) = outs
+    assert (nlo == dlo).all() and (nhi == dhi).all()
+    assert (nrole == drole).all()
+    assert nstats == dstats
+
+
 def test_streaming_memory_bounded():
     """Feeding the same chunk repeatedly must not grow the state."""
     lo, hi, role = _synthetic(10000, 3)
-    b = StreamingTableBuilder(chunk_entries=4096)
+    b = StreamingTableBuilder(chunk_entries=4096, backend="device")
     for _ in range(8):
         b.add_candidates(lo, hi, role)
         b._flush()
