@@ -111,20 +111,30 @@ class ContigKmerIndex:
         if n == 0:
             raise ValueError("genome has no contig kmers")
 
-        # device sort by key; payload = original row index
-        idx = np.arange(n, dtype=np.int32)
-        slo, shi, sidx, first, seg, counts = _sort_with_payload(
-            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(idx))
-        slo = np.asarray(slo)
-        shi = np.asarray(shi)
-        sidx = np.asarray(sidx)
-        first = np.asarray(first)
-        counts = np.asarray(counts)
+        got = native.groupby(lo, hi)
+        if got is not None:
+            # host C++ group-by (kan_groupby): one sort, zero device
+            # round-trips — device pulls cost ~40ms/MB over a tunnel
+            sidx, ustarts = got
+            starts_all = ustarts
+            ukey_lo = lo[sidx[ustarts]]
+            ukey_hi = hi[sidx[ustarts]]
+            ucounts = np.diff(np.append(ustarts, n)).astype(np.int32)
+        else:
+            # device sort by key; payload = original row index
+            idx = np.arange(n, dtype=np.int32)
+            slo, shi, sidx, first, seg, counts = _sort_with_payload(
+                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(idx))
+            slo = np.asarray(slo)
+            shi = np.asarray(shi)
+            sidx = np.asarray(sidx)
+            first = np.asarray(first)
+            counts = np.asarray(counts)
 
-        starts_all = np.flatnonzero(first)          # (U,)
-        ukey_lo = slo[starts_all]
-        ukey_hi = shi[starts_all]
-        ucounts = counts[: len(starts_all)]
+            starts_all = np.flatnonzero(first)          # (U,)
+            ukey_lo = slo[starts_all]
+            ukey_hi = shi[starts_all]
+            ucounts = counts[: len(starts_all)]
         if strict:
             keep = ucounts == 1                      # STRICT: unique only
             ukey_lo, ukey_hi = ukey_lo[keep], ukey_hi[keep]
@@ -186,6 +196,24 @@ def peg_singleton_kmers(genome: Genome, k: int = 8):
             len_bcast[pos: pos + ln] = ln
             pos_in_seq[pos: pos + ln] = np.arange(ln)
             pos += ln
+    if native.available():
+        # host fast path: vectorized NumPy pack + C++ group-by — no
+        # device round-trips (Q1 strict drop-last, Q2 'X'-only rejection)
+        from ..ops.encode import PROT_X
+        from .signature import pack_kmers_np
+        lo, hi = pack_kmers_np(codes, k)
+        nw = len(lo)
+        bad = (codes == PROT_X) | (codes >= PROT_PAD)
+        has_bad = np.zeros(nw, bool)
+        for j in range(k):
+            has_bad |= bad[j: j + nw]
+        valid = ((pos_in_seq[:nw] < len_bcast[:nw] - k) & ~has_bad)
+        lo, hi, peg_idx = lo[valid], hi[valid], peg_of[:nw][valid]
+        order, ustarts = native.groupby(lo, hi)
+        counts = np.diff(np.append(ustarts, len(lo)))
+        sel = order[ustarts[counts == 1]]
+        return lo[sel], hi[sel], peg_idx[sel], pegs
+
     lo, hi, valid = _flat_kmers(jnp.asarray(codes), jnp.asarray(len_bcast),
                                 jnp.asarray(pos_in_seq), k)
     valid = np.asarray(valid)

@@ -95,6 +95,8 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kan_build_finish.argtypes = [ctypes.c_void_p, i64p]
         lib.kan_build_fill.argtypes = [ctypes.c_void_p, u32p, u32p, i32p]
         lib.kan_build_free.argtypes = [ctypes.c_void_p]
+        lib.kan_groupby.restype = i64
+        lib.kan_groupby.argtypes = [u32p, u32p, i64, i32p, i64p]
         _lib = lib
         return _lib
 
@@ -223,6 +225,22 @@ class NativeBuilder:
             self.close()
         except Exception:
             pass
+
+
+def groupby(lo: np.ndarray, hi: np.ndarray
+            ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Stable key group-by (kan_groupby): returns (order (n,) int32,
+    ustarts (U,) int64) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(lo, np.uint32)
+    hi = np.ascontiguousarray(hi, np.uint32)
+    n = len(lo)
+    order = np.empty(n, np.int32)
+    ustarts = np.empty(n, np.int64)
+    u = lib.kan_groupby(lo, hi, n, order, ustarts)
+    return order, ustarts[:u]
 
 
 def make_builder() -> "NativeBuilder | None":

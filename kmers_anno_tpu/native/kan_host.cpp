@@ -359,6 +359,36 @@ void kan_build_fill(void* h, uint32_t* lo, uint32_t* hi, int32_t* role) {
 
 void kan_build_free(void* h) { delete static_cast<KanBuilder*>(h); }
 
+// ---------------------------------------------------------------------------
+// key group-by (the projection engine's host-side sort kernel)
+// ---------------------------------------------------------------------------
+//
+// Stable-sorts (hi, lo) packed kmer keys and reports the grouping:
+// order[i] = original index of the i-th key in sorted order, ustarts[u] =
+// first sorted position of the u-th unique key; returns the unique count.
+// Equivalent to the device sort group-by in engine/projection.py
+// (_sort_with_payload) — used when device round-trips are slower than one
+// host sort (e.g. over a remote-tunnel device).  Ties sort by original
+// index, matching jax.lax.sort's stability.
+
+int64_t kan_groupby(const uint32_t* lo, const uint32_t* hi, int64_t n,
+                    int32_t* order, int64_t* ustarts) {
+  std::vector<std::pair<uint64_t, int32_t>> v(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i)
+    v[static_cast<size_t>(i)] = {
+        (static_cast<uint64_t>(hi[i]) << 32) | lo[i],
+        static_cast<int32_t>(i)};
+  std::sort(v.begin(), v.end());
+  int64_t u = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    order[i] = v[static_cast<size_t>(i)].second;
+    if (i == 0 ||
+        v[static_cast<size_t>(i)].first != v[static_cast<size_t>(i - 1)].first)
+      ustarts[u++] = i;
+  }
+  return u;
+}
+
 }  // extern "C"
 
 extern "C" {
