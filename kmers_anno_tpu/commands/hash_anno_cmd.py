@@ -9,8 +9,8 @@ import os
 import time
 
 from ..engine.annotation import ANNO_FILE_RE, OUTPUT_HEADER
-from ..engine.hashanno import (Prototype, PrototypeSet,
-                               annotate_genome_rows)
+from ..engine.hashanno import (Prototype, PrototypeSet, RateLogger,
+                               annotate_genomes_batched)
 from ..genome.sources import GenomeSource
 from ..utils.io import TabbedLineReader
 from ..utils.prefetch import prefetch_map
@@ -43,6 +43,10 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
         parser.add_argument(
             "--missing", action="store_true",
             help="if specified, only new genomes will be annotated")
+        parser.add_argument(
+            "--batch", dest="batch_size", type=int, default=4, metavar="4",
+            help="genomes scored per combined device batch (1 = one "
+                 "genome per device pass, the reference's granularity)")
         parser.add_argument("annoFile", metavar="annoFile",
                             help="input role annotation file")
         parser.add_argument("inDir", metavar="inDir",
@@ -54,6 +58,8 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
     def validate_parms(self) -> None:
         if self.kmer_size < 2:
             raise ParseFailureException("Kmer Size must be at least 2.")
+        if self.batch_size < 1:
+            raise ParseFailureException("Batch size must be at least 1.")
         if not 0.0 <= self.min_score < 1.0:
             raise ParseFailureException(
                 "Minimum similarity score must be between 0 and 1.")
@@ -92,33 +98,44 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
                       changed=0)
         # pack prototype kmers once for the whole run
         protoset = PrototypeSet(self.prototypes, self.kmer_size)
+        rate = RateLogger("lines")   # 5-second prototype lines/s logger
+        ids = sorted(genome_ids)
+        groups = [ids[i: i + self.batch_size]
+                  for i in range(0, len(ids), self.batch_size)]
         with open(self.out_file("changes.tbl"), "w") as change_writer:
             change_writer.write(OUTPUT_HEADER + "\n")
-            # genome load/parse of the next genomes overlaps the scoring of
-            # the current one (parallelStream parity,
+            # genome load/parse of the next batch overlaps device scoring
+            # of the current one, and each batch's genomes score through
+            # ONE combined device index (parallelStream parity,
             # HashAnnotationProcessor.java:208 — outputs stay in order)
-            stream = prefetch_map(sorted(genome_ids),
-                                  lambda g: (g, self.genomes.get(g)))
-            for i, (gid, genome) in enumerate(stream, 1):
-                log.info("Processing genome %d of %d:  %s.", i,
-                         len(genome_ids), genome)
+            stream = prefetch_map(
+                groups, lambda g: [(gid, self.genomes.get(gid))
+                                   for gid in g])
+            done = 0
+            for group in stream:
                 start = time.time()
-                rows, changes, stats = annotate_genome_rows(
-                    genome, protoset, self.kmer_size, self.min_score)
-                with open(self.out_file(f"{gid}.anno.tbl"), "w") as fh:
-                    fh.write(OUTPUT_HEADER + "\n")
-                    for row in rows:
-                        fh.write("\t".join(row) + "\n")
-                for row in changes:
-                    change_writer.write("\t".join(row) + "\n")
-                log.info("%d default annotations, %d confirmed "
-                         "annotations, %d new annotations in %s.",
-                         stats["defaulted"], stats["confirmed"],
-                         stats["changed"], genome)
-                log.info("%.1fs to annotate %s.", time.time() - start,
-                         genome)
-                for key in totals:
-                    totals[key] += stats[key]
+                results = annotate_genomes_batched(
+                    [genome for _, genome in group], protoset,
+                    self.kmer_size, self.min_score, rate=rate)
+                for (gid, genome), (rows, changes, stats) in zip(group,
+                                                                 results):
+                    done += 1
+                    log.info("Processed genome %d of %d:  %s.", done,
+                             len(ids), genome)
+                    with open(self.out_file(f"{gid}.anno.tbl"), "w") as fh:
+                        fh.write(OUTPUT_HEADER + "\n")
+                        for row in rows:
+                            fh.write("\t".join(row) + "\n")
+                    for row in changes:
+                        change_writer.write("\t".join(row) + "\n")
+                    log.info("%d default annotations, %d confirmed "
+                             "annotations, %d new annotations in %s.",
+                             stats["defaulted"], stats["confirmed"],
+                             stats["changed"], genome)
+                    for key in totals:
+                        totals[key] += stats[key]
+                log.info("%.1fs to annotate %d genomes.",
+                         time.time() - start, len(group))
         log.info("%d total proteins out of %d features processed for %d "
                  "genomes.", totals["proteins"], totals["features"],
                  len(genome_ids))

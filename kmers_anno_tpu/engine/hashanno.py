@@ -30,6 +30,7 @@ classes (SURVEY.md §2b) with a device-probed design:
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
@@ -100,6 +101,27 @@ class Prototype:
 
     protein: str
     annotation: str
+
+
+class RateLogger:
+    """Every-N-seconds progress rate logger (the reference logs prototype
+    lines/second every 5 s — HashAnnotationProcessor.java:265-270)."""
+
+    def __init__(self, unit: str = "lines", interval: float = 5.0):
+        self.unit = unit
+        self.interval = interval
+        self.start = time.time()
+        self._last = self.start
+        self.n = 0
+
+    def add(self, n: int) -> None:
+        self.n += n
+        now = time.time()
+        if now - self._last >= self.interval:
+            rate = self.n / max(now - self.start, 1e-9)
+            log.info("%d %s processed (%.0f %s/second).",
+                     self.n, self.unit, rate, self.unit)
+            self._last = now
 
 
 class PrototypeSet:
@@ -291,10 +313,12 @@ class GenomeProteinKmers:
 
     def process_proposals(self,
                           prototypes: "list[Prototype] | PrototypeSet",
-                          chunk: int = 4096) -> int:
+                          chunk: int = 4096,
+                          rate: "RateLogger | None" = None) -> int:
         """Score every prototype; returns total match count (proteins whose
         proposal a prototype improved).  Pass a PrototypeSet to reuse the
-        packed prototype kmers across genomes."""
+        packed prototype kmers across genomes; ``rate`` gets one ``add``
+        per scored chunk (the 5-second lines/s instrument)."""
         if not self._built:
             self._build()
         if isinstance(prototypes, list):
@@ -306,6 +330,8 @@ class GenomeProteinKmers:
         matches = 0
         for prepared in prototypes.chunks(chunk):
             matches += self._process_chunk(prepared)
+            if rate is not None:
+                rate.add(len(prepared[5]))
         return matches
 
     def _process_chunk(self, prepared) -> int:
@@ -362,9 +388,45 @@ class GenomeProteinKmers:
 OUTPUT_HEADER = "fid\tscore\tnew_annotation\told_annotation"
 
 
+def _emit_rows(genome: Genome, gk: GenomeProteinKmers,
+               defaults: "dict[str, str] | None" = None):
+    """Per-feature output rows of one genome against a scored index
+    (Q12 output classes — HashAnnotationProcessor.java:278-305).
+
+    ``defaults``: per-genome md5 → first-registered old annotation.  In
+    batched mode the shared index's 0.0-score default would otherwise be
+    whichever GENOME registered the sequence first; this map restores the
+    per-genome default the reference computes."""
+    rows = []
+    changes = []
+    d_count = c_count = 0
+    for feat in genome.features:
+        old = feat.peg_function
+        prot = feat.protein_translation
+        md5 = protein_md5(prot) if prot else ""
+        proposal = gk.get_proposal(md5) if md5 else None
+        if proposal is None:
+            rows.append((feat.id, "", old, old))
+        else:
+            score, new = proposal
+            if score == 0.0 and defaults is not None:
+                new = defaults.get(md5, new)
+            score_str = repr(score) if score else "0.0"
+            row = (feat.id, score_str, new, old)
+            rows.append(row)
+            if score == 0.0:
+                d_count += 1
+            elif old == new:
+                c_count += 1
+            else:
+                changes.append(row)
+    return rows, changes, d_count, c_count
+
+
 def annotate_genome_rows(genome: Genome,
                          prototypes: "list[Prototype] | PrototypeSet",
-                         k: int, min_score: float):
+                         k: int, min_score: float,
+                         rate: "RateLogger | None" = None):
     """Full hashAnno pass over one genome.  Pass a PrototypeSet when
     annotating many genomes so prototype packing happens once.
 
@@ -383,29 +445,61 @@ def annotate_genome_rows(genome: Genome,
             gk.add_protein(feat.id, prot, feat.peg_function)
     log.info("%d features processed, %d skipped, %d proteins, %d kmers "
              "in %s.", f_count, s_count, p_count, gk.n_kmers, genome)
-    matches = gk.process_proposals(prototypes)
-    rows = []
-    changes = []
-    d_count = c_count = 0
-    for feat in genome.features:
-        old = feat.peg_function
-        prot = feat.protein_translation
-        md5 = protein_md5(prot) if prot else ""
-        proposal = gk.get_proposal(md5) if md5 else None
-        if proposal is None:
-            rows.append((feat.id, "", old, old))
-        else:
-            score, new = proposal
-            score_str = repr(score) if score else "0.0"
-            row = (feat.id, score_str, new, old)
-            rows.append(row)
-            if score == 0.0:
-                d_count += 1
-            elif old == new:
-                c_count += 1
-            else:
-                changes.append(row)
+    matches = gk.process_proposals(prototypes, rate=rate)
+    rows, changes, d_count, c_count = _emit_rows(genome, gk)
     stats = dict(features=f_count, skipped=s_count, proteins=p_count,
                  matches=matches, defaulted=d_count, confirmed=c_count,
                  changed=len(changes))
     return rows, changes, stats
+
+
+def annotate_genomes_batched(genomes: "list[Genome]",
+                             prototypes: "list[Prototype] | PrototypeSet",
+                             k: int, min_score: float,
+                             rate: "RateLogger | None" = None):
+    """Score SEVERAL genomes through one combined device index.
+
+    The prototype set is shared across genomes, and a protein's best
+    proposal depends only on its sequence (its distinct-kmer set), so
+    distinct proteins of a whole genome batch can live in ONE owner
+    matrix / probe table and be scored by one device pass — the device-
+    batching analogue of the reference's genome thread fan-out
+    (HashAnnotationProcessor.java:208 parallelStream).  Identical
+    sequences across genomes share one index entry and one proposal —
+    the result every per-genome run would compute for them anyway.
+
+    returns [(rows, changes, stats) per genome, in input order]; each
+    stats carries the per-genome Q12 class counts and the BATCH-wide
+    ``matches`` total (per-genome attribution is meaningless when
+    proteins are shared).
+    """
+    gk = GenomeProteinKmers(k, min_score)
+    per_counts = []
+    per_defaults: list[dict[str, str]] = []
+    for genome in genomes:
+        f_count = s_count = p_count = 0
+        defaults: dict[str, str] = {}
+        for feat in genome.features:
+            prot = feat.protein_translation
+            f_count += 1
+            if not prot or "*" in prot:
+                s_count += 1
+            else:
+                p_count += 1
+                gk.add_protein(feat.id, prot, feat.peg_function)
+                defaults.setdefault(protein_md5(prot), feat.peg_function)
+        per_counts.append((f_count, s_count, p_count))
+        per_defaults.append(defaults)
+    log.info("%d proteins (%d kmers) from %d genomes in one device "
+             "batch.", len(gk._proteins), gk.n_kmers, len(genomes))
+    matches = gk.process_proposals(prototypes, rate=rate)
+    out = []
+    for genome, (f_count, s_count, p_count), defaults in zip(
+            genomes, per_counts, per_defaults):
+        rows, changes, d_count, c_count = _emit_rows(genome, gk, defaults)
+        out.append((rows, changes,
+                    dict(features=f_count, skipped=s_count,
+                         proteins=p_count, matches=matches,
+                         defaulted=d_count, confirmed=c_count,
+                         changed=len(changes))))
+    return out

@@ -135,8 +135,13 @@ class MeshApplyEngine(_MeshPlumbing):
     """Annotates genome streams on a (data, table) device mesh.
 
     weighted=True swaps the unanimity vote for the weighted best-tally
-    vote (packed payloads; same results as KmerApplyEngine(weighted=True))
-    — composes with every mode including the routed large-table path.
+    vote (packed payloads) — composes with every mode including the
+    routed large-table path.  Results match KmerApplyEngine(weighted=True)
+    up to float32 summation order: the routed path psum-merges per-shard
+    partial tallies, so a tally within 1 ulp of a tie can call a
+    different (equally-tallied) role than the single-device dense vote
+    depending on shard count (ADVICE r3).  The unanimity vote is exact
+    in every mode (integer min/max/sum are order-free).
     """
 
     def __init__(self, signatures: SignatureTable, n_data: int,

@@ -512,8 +512,9 @@ class SignatureTable:
                            packed_weights: bool = False):
         """Like device_table, but auto-selects the big-table layout: tables
         past SLICED_THRESHOLD_BYTES come back in the probe-window layout
-        for ops.sliced_probe.probe_table_sliced (measured ~19× the plain
-        gather walk on HBM-resident tables).
+        for ops.sliced_probe.probe_table_sliced (measured ~2.7× the plain
+        gather walk on a 10M-entry HBM-resident table, r3/r4 honest
+        timing; prefer device_wide_table when the key count fits it).
 
         returns (table jnp array, max_probes int, sliced bool)
         """

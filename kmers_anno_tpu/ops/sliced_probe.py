@@ -1,10 +1,11 @@
 """Bucket-sorted sliced probe: full-bandwidth lookups on HBM-size tables.
 
 ``ops.hashtable.probe_table`` expresses the bucket walk as one XLA row
-gather.  Measured on TPU v5e (real timings, host-synced): that gather runs
-at ~530 M rows/s while the table fits on-chip memory (≤ ~13 MB) but
-collapses to ~60 M rows/s on an HBM-resident table (BASELINE config 4:
-10M entries ≈ 0.4 GB) — every random 96 B access pays full HBM latency.
+gather.  Measured on TPU v5e (r4, host-synced chained-batch timing): the
+gather is latency-bound at ~166 M rows/s regardless of row width for
+tables of ≤ ~262k rows, then collapses to ~54 M rows/s at 524k+ rows
+(BASELINE config 4: 10M entries ≈ 0.4 GB) — every random access pays
+full HBM latency once the row count leaves the fast zone.
 
 Two latency-hiding designs were evaluated on hardware:
 
@@ -14,11 +15,18 @@ Two latency-hiding designs were evaluated on hardware:
 * THIS design: convert random HBM access into sequential HBM streaming +
   random on-chip access.  Sort queries by home bucket, then scan the
   table in on-chip-size slices; each slice is one big sequential read
-  (the whole table streams at ~870 GB/s ≈ HBM peak) and each query
-  gathers its bucket row from the *slice*, which runs at the fast
-  on-chip gather rate.  Measured end to end: ~450 M lookups/s on a 10M
-  entry table — ~19× the plain gather — with the two 4M-element
-  device sorts (queries in, results out) included.
+  and each query gathers its bucket row from the *slice*, which runs at
+  the fast small-row-count gather rate.
+
+Honest r3/r4 numbers (host-synced chained-batch timing; the r1/r2 docs
+here claimed ~450 M lookups/s / ~19×, which came from async timing that
+overstated throughput ~20-30×): on a 10M-entry windowed table (~0.8 GB)
+the sliced path measures ~72 M lookups/s vs ~26 M for the plain walk —
+~2.7×, dominated by the two 4M-element device sorts (a 2.4M-element sort
+measures ~8.4 ms on v5e).  On mid-size tables (≤ ~75 MB, ≤ 262k rows)
+the plain gather is already latency-bound at ~166 M rows/s and the wide-
+bucket single-gather layout (ops.widetable) beats both — this module is
+the ≥ ~4M-key fallback only.
 
 The probe walk (up to ``max_probes`` consecutive buckets, wrapping mod B)
 is folded into the row width instead of extra gathers: ``windowed_table``
@@ -52,9 +60,10 @@ ROW = 3 * BUCKET          # uint32 words per bucket row
 MAX_SLICE_ROWS = 1 << 16  # 65536 rows/slice: 12.6 MB at max_probes 2,
                           # the top of the measured fast-gather zone
 # tables larger than this probe faster through the sliced path.
-# Measured on v5e: the plain gather holds ~530M rows/s to ~13 MB, ~210M
-# at 25 MB, ~120M at 100 MB, ~60M at 400 MB; the sliced path is a flat
-# ~78M lookups/s (sort-dominated), so the crossover sits near 50 MB.
+# Measured on v5e (r4): the plain gather holds ~166M rows/s up to ~262k
+# rows (25 MB at 8 slots), drops to ~54M rows/s by 524k rows; the sliced
+# path is a flat ~72M lookups/s (sort-dominated).  Tables small enough
+# for the wide-bucket layout (ops.widetable, ≤ ~3M keys) never get here.
 SLICED_THRESHOLD_BYTES = 48 << 20
 
 

@@ -293,7 +293,11 @@ def routed_apply_step(mesh: Mesh, *, k: int, max_probes: int, n_seqs: int,
     weighted=True: each shard reduces PARTIAL dense (seg, role) weight
     tallies from its packed payloads; the global vote psum-merges tallies
     over the ``table`` axis before the argmax (``_weighted_tally``) — the
-    weighted analogue of the unanimity psum/pmin/pmax merge.
+    weighted analogue of the unanimity psum/pmin/pmax merge.  The psum
+    changes float32 summation order vs the single-device dense tally, so
+    a near-tie (within ~1 ulp) can resolve to a different equally-tallied
+    role depending on shard count (ADVICE r3); unanimity-mode results are
+    exact in every topology.
     """
     n_table = mesh.shape["table"]
     pack = _pack_windows(alphabet)

@@ -196,3 +196,53 @@ def test_owner_cap_overflow_matches_uncapped(genome, monkeypatch):
     got = run()                           # every shared kmer overflows
     assert got == want
     assert all(sim > 0 for sim, _ in got)   # comparison is not vacuous
+
+
+def test_batched_matches_per_genome():
+    """annotate_genomes_batched == per-genome annotate_genome_rows,
+    including shared sequences with DIFFERENT old annotations (the
+    per-genome default map)."""
+    from kmers_anno_tpu.engine.hashanno import (PrototypeSet,
+                                                annotate_genomes_batched)
+
+    rng = random.Random(11)
+    g1 = make_genome("700.1", seed=91, n_per_role=3)
+    g2 = make_genome("700.2", seed=92, n_per_role=3)
+    g3 = make_genome("700.3", seed=93, n_per_role=2)
+    # plant one shared protein in all three genomes with different old
+    # annotations (exercises the per-genome 0.0-score default)
+    shared = random_protein(rng, 120)
+    for i, g in enumerate((g1, g2, g3)):
+        feat = copy.deepcopy(g.features[0])
+        feat.raw["id"] = f"fig|{g.id}.peg.9999"
+        feat.function = f"distinct old annotation {i}"
+        feat.raw["protein_translation"] = shared
+        g.features.append(feat)
+    genomes = [g1, g2, g3]
+
+    prototypes = [Prototype(f.protein_translation, f"proto {i}")
+                  for i, f in enumerate(g1.pegs[:5])]
+    prototypes.append(Prototype(random_protein(rng, 90), "noise proto"))
+    protoset = PrototypeSet(prototypes, K)
+
+    want = [annotate_genome_rows(g, protoset, K, MIN_SCORE)
+            for g in genomes]
+    got = annotate_genomes_batched(genomes, protoset, K, MIN_SCORE)
+    for (wrows, wchanges, wstats), (grows, gchanges, gstats) in zip(want,
+                                                                    got):
+        assert grows == wrows
+        assert gchanges == wchanges
+        for key in ("features", "skipped", "proteins", "defaulted",
+                    "confirmed", "changed"):
+            assert gstats[key] == wstats[key]
+
+
+def test_rate_logger(caplog):
+    from kmers_anno_tpu.engine.hashanno import RateLogger
+
+    rl = RateLogger("lines", interval=0.0)
+    with caplog.at_level("INFO", logger="kmers_anno_tpu.engine.hashanno"):
+        rl.add(100)
+        rl.add(50)
+    assert any("lines/second" in r.getMessage() for r in caplog.records)
+    assert rl.n == 150
