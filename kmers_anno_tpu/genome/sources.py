@@ -21,8 +21,6 @@ from .gto import Genome
 
 log = logging.getLogger(__name__)
 
-PATRIC_GENOME_URL = ("https://p3.theseed.org/services/data_api/genome/")
-
 
 class GenomeSource:
     """Base genome source."""
@@ -70,61 +68,55 @@ class DirGenomeSource(GenomeSource):
 
 
 class PatricGenomeSource(GenomeSource):
-    """BV-BRC genomes with a local GTO cache (P3Genome.load contract).
+    """BV-BRC genomes (GenomeSource.Type.PATRIC contract,
+    GtoBuildProcessor.java:100).
 
-    ``path`` is the cache directory; IDs are whatever the cache holds.
-    ``get`` consults the cache first, then attempts a network fetch (which
-    in an isolated environment fails fast and returns None with a warning).
+    ``path`` selects the enumeration mode, matching the reference:
+
+    * a FILE of genome IDs (one per line; a ``genome_id`` header line is
+      skipped) — the reference's PATRIC source input.  IDs enumerate the
+      file; ``get`` loads cache-first then fetches via the data-api
+      client (genome.p3api).
+    * a DIRECTORY — cache-only mode: IDs enumerate the cached
+      ``<id>.gto`` files, and the directory doubles as the fetch cache.
+
+    In a network-isolated deployment every fetch miss warns loudly and
+    returns None (the reference's not-found path,
+    KmerProcessor.java:190-191); see README "PATRIC / BV-BRC access".
     """
 
-    def __init__(self, path: str | None):
-        self.cache = path
-        if path is not None and not os.path.isdir(path):
-            raise FileNotFoundError(f"genome cache {path} is not a directory")
+    def __init__(self, path: str | None, cache: str | None = None):
+        self.cache = cache
+        self._id_list: list[str] | None = None
+        if path is None:
+            pass
+        elif os.path.isdir(path):
+            self.cache = path if cache is None else cache
+        elif os.path.isfile(path):
+            ids = []
+            with open(path) as fh:
+                for line in fh:
+                    gid = line.split("\t")[0].strip()
+                    if gid and gid != "genome_id":
+                        ids.append(gid)
+            self._id_list = ids
+        else:
+            raise FileNotFoundError(
+                f"PATRIC source {path} is neither a genome-ID file nor "
+                "a cache directory")
 
     def ids(self) -> list[str]:
+        if self._id_list is not None:
+            return list(self._id_list)
         if self.cache is None:
             return []
         return sorted(f[:-4] for f in os.listdir(self.cache)
                       if f.endswith(".gto"))
 
     def get(self, genome_id: str) -> Genome | None:
-        if self.cache is not None:
-            p = os.path.join(self.cache, genome_id + ".gto")
-            if os.path.isfile(p):
-                return Genome.load(p)
-        genome = self._fetch(genome_id)
-        if genome is not None and self.cache is not None:
-            genome.save(os.path.join(self.cache, genome_id + ".gto"))
-        return genome
-
-    def _fetch(self, genome_id: str) -> Genome | None:
-        """Network fetch of a GTO from BV-BRC; None on any failure.
-
-        P3Genome.load returns a real genome or null (KmerProcessor.java:
-        189-191) and callers skip+warn on null.  The data-api genome
-        endpoint serves a flat genome *record* for some deployments, so
-        the payload is validated to be GTO-shaped (contigs or features
-        present) before wrapping — a record would otherwise become a
-        silently empty Genome (r2 VERDICT rot).
-        """
-        import urllib.error
-        import urllib.request
-        url = PATRIC_GENOME_URL + genome_id
-        try:
-            with urllib.request.urlopen(url, timeout=30) as resp:
-                raw = json.load(resp)
-        except Exception as exc:  # isolated envs fail here by design
-            log.warning("Could not fetch genome %s: %s", genome_id, exc)
-            return None
-        if not isinstance(raw, dict) or not (
-                raw.get("contigs") or raw.get("features")):
-            log.warning("Genome %s response from %s is not a GTO "
-                        "(keys: %s); treating as not found.", genome_id,
-                        url, sorted(raw)[:8] if isinstance(raw, dict)
-                        else type(raw).__name__)
-            return None
-        return Genome(raw)
+        from .p3api import Details, P3Connection, P3Genome
+        return P3Genome.load(P3Connection(), genome_id,
+                             Details.FULL, self.cache)
 
 
 GenomeSource.TYPES.update(DIR=DirGenomeSource, PATRIC=PatricGenomeSource)

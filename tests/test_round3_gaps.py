@@ -99,44 +99,37 @@ def test_unknown_genetic_code_raises():
 
 
 def test_patric_fetch_validates_gto_shape(monkeypatch, tmp_path):
-    """A non-GTO payload (flat genome record) returns None like
-    P3Genome.load's null (KmerProcessor.java:189-191); a GTO payload
-    wraps and caches."""
-    from kmers_anno_tpu.genome import sources
+    """A non-GTO legacy payload (flat genome record) falls through to the
+    data-api path, and an unreachable API returns None like P3Genome.load's
+    null (KmerProcessor.java:189-191); a GTO payload wraps and caches."""
+    from kmers_anno_tpu.genome import p3api, sources
 
     responses = {}
 
-    class FakeResp(io.BytesIO):
-        def __enter__(self):
-            return self
+    def fake_http_json(url, timeout=30.0):
+        if url not in responses:
+            raise OSError(f"no route to {url}")
+        return responses[url]
 
-        def __exit__(self, *exc):
-            return False
-
-    def fake_urlopen(url, timeout=None):
-        return FakeResp(json.dumps(responses[url]).encode())
-
-    monkeypatch.setattr(sources, "PATRIC_GENOME_URL", "fake://genome/")
-    import urllib.request
-    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    monkeypatch.setattr(p3api, "_http_json", fake_http_json)
 
     cache = tmp_path / "cache"
     cache.mkdir()
     src = sources.PatricGenomeSource(str(cache))
 
-    # flat record (what the data-api genome endpoint serves) → None
-    responses["fake://genome/11.1"] = {
+    # flat record on the legacy endpoint + unreachable data api → None
+    responses[p3api.LEGACY_GTO_URL + "11.1"] = {
         "genome_id": "11.1", "genome_name": "Recordus flatus"}
     assert src.get("11.1") is None
     assert not os.path.exists(cache / "11.1.gto")
 
     # real GTO shape → Genome, written back to the cache
-    responses["fake://genome/22.2"] = {
+    responses[p3api.LEGACY_GTO_URL + "22.2"] = {
         "id": "22.2", "scientific_name": "Gto realus", "genetic_code": 11,
         "features": [], "contigs": [{"id": "c1", "dna": "acgt"}]}
     g = src.get("22.2")
     assert g is not None and g.id == "22.2"
     assert os.path.isfile(cache / "22.2.gto")
     # second get comes from the cache (no network)
-    del responses["fake://genome/22.2"]
+    del responses[p3api.LEGACY_GTO_URL + "22.2"]
     assert src.get("22.2").id == "22.2"
