@@ -37,8 +37,10 @@ from ..genome.dna import DnaTranslator
 from ..genome.gto import Feature, Genome
 from ..genome.locations import Location
 from ..ops.contig_kmers import extract_contig_kmers
-from ..ops.encode import PROT_PAD, encode_protein
-from ..ops.hashtable import build_table, probe_table
+from ..ops.encode import PROT_PAD, encode_dna, encode_protein
+from ..ops.hashtable import (MAX_DEVICE_PROBES, build_table,
+                             build_table_device, device_table_buckets,
+                             probe_table)
 from ..ops.kmers import pack_kmer_windows
 from .apply_engine import _bucket
 from .proposals import PegProposalList
@@ -152,6 +154,204 @@ class ContigKmerIndex:
 
 
 # ---------------------------------------------------------------------------
+# device-resident stream window index (the TPU fast path)
+# ---------------------------------------------------------------------------
+
+def _bucket_blocks(n: int) -> int:
+    """Round a block count to {2^m, 3·2^(m-1)} to bound recompiles."""
+    n = max(n, 1)
+    p = 1 << (n - 1).bit_length()
+    if p * 3 // 4 >= n:
+        return p * 3 // 4
+    return p
+
+
+_combine_mask = jax.jit(lambda m, b: m & (b == 0))
+
+
+@jax.jit
+def _strict_window_mask(d_lo, d_hi, d_valid):
+    """STRICT mode (KmerFactory.java:64-68) on the window stream: keep
+    only windows whose kmer occurs exactly once among valid windows."""
+    n = d_lo.shape[0]
+    sent = jnp.int32(1 << 30)              # > any packed hi (≤ 30 bits)
+    key_hi = jnp.where(d_valid, d_hi, sent)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    shi, slo, spos = jax.lax.sort((key_hi, d_lo, pos), num_keys=2)
+    prev_hi = jnp.concatenate([shi[:1] ^ 1, shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    first = (shi != prev_hi) | (slo != prev_lo)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), seg,
+                                 num_segments=n)
+    keep = (counts[seg] == 1) & (shi != sent)
+    return jnp.zeros(n, bool).at[spos].set(keep)
+
+
+def _compact_hits(pay, cap: int):
+    """Sort-compact hit payloads: (positions, pegs, n_hits).
+
+    A stable (miss-flag, position) sort beats the scatter compaction by
+    ~6× on TPU (scatters serialize; the batched sort does not) and keeps
+    hits in stream order."""
+    hit = pay >= 0
+    n_hits = jnp.sum(hit.astype(jnp.int32), axis=-1)
+    miss = jnp.where(hit, jnp.int8(0), jnp.int8(1))
+    pos = jnp.broadcast_to(
+        jnp.arange(pay.shape[-1], dtype=jnp.int32), pay.shape)
+    _, pos_s, pay_s = jax.lax.sort((miss, pos, pay), num_keys=2)
+    return pos_s[..., :cap], pay_s[..., :cap], n_hits
+
+
+@partial(jax.jit, static_argnames=("n_buckets", "cap", "max_probes"))
+def _probe_compact(s_lo, s_hi, s_peg, d_lo, d_hi, d_valid, *,
+                   n_buckets: int, cap: int, max_probes: int):
+    """One fused device step per close genome: build the singleton table
+    on device, probe every contig window, compact the hits.
+
+    s_lo/s_hi: (S,) uint32 singleton keys padded with EMPTY
+    s_peg:     (S,) uint32 peg index payloads
+    d_lo/d_hi: (N,) int32 device window keys (stream order)
+    d_valid:   (N,) bool
+    returns (pos_buf (cap,) int32 — stream positions of hits 0..n-1,
+             peg_buf (cap,) int32 — matching peg index per hit,
+             n_hits int32 scalar, bad bool — device build overflow)
+    """
+    table, bad_build = build_table_device(s_lo, s_hi, s_peg, n_buckets)
+    pay = probe_table(table, d_lo.astype(jnp.uint32),
+                      d_hi.astype(jnp.uint32), d_valid, max_probes)
+    return (*_compact_hits(pay, cap), bad_build)
+
+
+@partial(jax.jit, static_argnames=("cap", "max_probes"))
+def _probe_compact_pre(table, d_lo, d_hi, d_valid, *,
+                       cap: int, max_probes: int):
+    """_probe_compact against a host-prebuilt table (the fallback for
+    the astronomically-rare device build overflow)."""
+    pay = probe_table(table, d_lo.astype(jnp.uint32),
+                      d_hi.astype(jnp.uint32), d_valid, max_probes)
+    return _compact_hits(pay, cap)
+
+
+@partial(jax.jit, static_argnames=("n_buckets", "cap", "max_probes"))
+def _probe_compact_batch(s_lo, s_hi, s_peg, d_lo, d_hi, d_valid, *,
+                         n_buckets: int, cap: int, max_probes: int):
+    """All close genomes in ONE device step: vmap the per-genome table
+    build + stream probe over the genome axis, then batch-compact.
+
+    s_lo/s_hi/s_peg: (G, S) padded singleton keys/payloads per genome
+    returns (pos (G, cap), peg (G, cap), n_hits (G,), bad bool scalar)
+
+    One dispatch + one sync for the whole close-genome set: on a
+    tunneled device the per-call round trips otherwise dominate the
+    projection wall time (measured ~100 ms/call vs ~30 ms of compute).
+    """
+    lo_u = d_lo.astype(jnp.uint32)
+    hi_u = d_hi.astype(jnp.uint32)
+
+    def one(a, b, c):
+        table, bad = build_table_device(a, b, c, n_buckets)
+        return probe_table(table, lo_u, hi_u, d_valid, max_probes), bad
+
+    pay, bad = jax.vmap(one)(s_lo, s_hi, s_peg)
+    pos_s, pay_s, n_hits = _compact_hits(pay, cap)
+    return pos_s, pay_s, n_hits, jnp.any(bad)
+
+
+@dataclass
+class StreamWindowIndex:
+    """Device-resident contig window keys (base-major stream order).
+
+    Inverts the probe direction of ContigKmerIndex: instead of building a
+    genome-size hash table over contig kmers and probing peg singletons
+    into it (CSR expansion of location lists), the contig windows STAY on
+    device as one packed stream and each close genome's (small) singleton
+    set becomes the table — a window hit directly IS a (peg, location)
+    pair.  Eliminates the megabyte host pulls and the host table build
+    that dominate the host-index path (KmerReference.getContigKmers /
+    KmerProcessor.java:197-207 semantics, identical pair multiset).
+    """
+
+    k: int
+    gc: int
+    d_lo: jnp.ndarray           # (N,) int32 device window keys
+    d_hi: jnp.ndarray
+    d_valid: jnp.ndarray        # (N,) bool device
+    seg_start: np.ndarray       # (S,) int64 stream offset per segment
+    seg_contig: np.ndarray      # (S,) int32
+    seg_strand: np.ndarray      # (S,) int8
+    seg_len: np.ndarray         # (S,) int64 contig length
+    contig_ids: list
+    n_windows: int
+
+    @classmethod
+    def build(cls, genome: Genome, k: int = 8, strict: bool = False,
+              interpret: bool | None = None) -> "StreamWindowIndex":
+        from ..ops.encode import DNA_AMBIG, reverse_complement_codes
+        from ..ops.pallas_contig import LANES, ROWS, scan_stream_device
+
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        k3 = 3 * k
+        gap = k3                          # ≥ 3k-1: no window crosses
+        parts, meta = [], []
+        pos = 0
+        for ci, contig in enumerate(genome.contigs):
+            codes = encode_dna(contig.sequence)
+            length = len(codes)
+            for strand, arr in ((0, codes),
+                                (1, reverse_complement_codes(codes))):
+                meta.append((ci, strand, pos, length))
+                parts.append(arr)
+                parts.append(np.full(gap, DNA_AMBIG, np.uint8))
+                pos += length + gap
+        # pad the stream so the scan's block count lands on a bucket
+        blk = ROWS * LANES
+        n_blocks = _bucket_blocks(-(-max(pos - k3 + 1, 1) // blk))
+        want = n_blocks * blk + k3 - 1
+        if want > pos:
+            parts.append(np.full(want - pos, DNA_AMBIG, np.uint8))
+        stream = np.concatenate(parts)
+        d_lo, d_hi, d_bad, n_pad = scan_stream_device(
+            stream, k, genome.genetic_code, interpret=interpret)
+
+        # Q1 validity per segment (strict drop-last, KmerReference
+        # .java:186-187); Q2 ambiguity lives in the device ``bad`` flags
+        mask = np.zeros(n_pad, bool)
+        for ci, strand, start, length in meta:
+            if length < k3:
+                continue
+            n_out = length - k3 + 1
+            p = np.arange(n_out)
+            flen = (length - p % 3) // 3
+            mask[start: start + n_out] = (p // 3) < (flen - k)
+        d_valid = _combine_mask(jnp.asarray(mask), d_bad)
+        if strict:
+            d_valid = _strict_window_mask(d_lo, d_hi, d_valid)
+        return cls(
+            k=k, gc=genome.genetic_code, d_lo=d_lo, d_hi=d_hi,
+            d_valid=d_valid,
+            seg_start=np.array([m[2] for m in meta], np.int64),
+            seg_contig=np.array([m[0] for m in meta], np.int32),
+            seg_strand=np.array([m[1] for m in meta], np.int8),
+            seg_len=np.array([m[3] for m in meta], np.int64),
+            contig_ids=[c.id for c in genome.contigs],
+            n_windows=int(mask.sum()))
+
+    def locate(self, pos: np.ndarray):
+        """Stream positions → (contig idx, strand, 1-based left edge)."""
+        seg = np.searchsorted(self.seg_start, pos, side="right") - 1
+        local = pos - self.seg_start[seg]
+        strand = self.seg_strand[seg]
+        length = self.seg_len[seg]
+        k3 = 3 * self.k
+        left = np.where(strand == 0, local + 1,
+                        (length - k3 + 1) - local)
+        return (self.seg_contig[seg], strand.astype(np.int8),
+                left.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
 # close-genome peg singleton kmers
 # ---------------------------------------------------------------------------
 
@@ -244,7 +444,10 @@ class ProjectionAnnotator:
                  min_fuzz: float = 0.8, max_genomes: int = 10,
                  min_evidence: int = 10, k: int = 8,
                  algorithm: str = "AGGRESSIVE",
-                 trace_function: str | None = None):
+                 trace_function: str | None = None,
+                 engine: str = "auto"):
+        if engine not in ("auto", "device", "host"):
+            raise ValueError(f"unknown projection engine {engine!r}")
         if min_strength >= 1.0:
             raise ValueError("Minimum strength must be less than 1.")
         if max_fuzz <= 1.0:
@@ -260,6 +463,14 @@ class ProjectionAnnotator:
         self.k = k
         self.strict = algorithm.upper() == "STRICT"
         self.trace_function = trace_function
+        self.engine = engine
+
+    def _use_stream_index(self) -> bool:
+        """Device stream path on accelerators; host index on plain CPU
+        (where the interpreter-mode Pallas scan would dominate)."""
+        if self.engine != "auto":
+            return self.engine == "device"
+        return jax.default_backend() != "cpu"
 
     def annotate_genome(self, genome: Genome, close_loader) -> dict:
         """Annotate in place; close_loader(genome_id) → Genome | None.
@@ -271,11 +482,16 @@ class ProjectionAnnotator:
         real_strength = self.min_strength / 3          # Q3
         proposals = PegProposalList(genome, real_strength,
                                     self.min_evidence)
-        index = ContigKmerIndex.build(genome, k, strict=self.strict)
-        log.info("%d kmers found in genome.", index.n_unique)
+        if self._use_stream_index():
+            index = StreamWindowIndex.build(genome, k, strict=self.strict)
+            log.info("%d kmer windows found in genome.", index.n_windows)
+        else:
+            index = ContigKmerIndex.build(genome, k, strict=self.strict)
+            log.info("%d kmers found in genome.", index.n_unique)
         close = genome.close_genomes
         log.info("%d close genomes available from input.", len(close))
         i_genome = 1
+        loaded = []
         for cg in close:
             if i_genome > self.max_genomes:
                 break
@@ -286,7 +502,12 @@ class ProjectionAnnotator:
                 log.warning("Genome %s not found-- skipping.", cg.genome_id)
                 continue
             i_genome += 1
-            self._project_from(old_genome, index, proposals)
+            loaded.append(old_genome)
+        if isinstance(index, StreamWindowIndex):
+            self._project_all_stream(loaded, index, proposals)
+        else:
+            for old_genome in loaded:
+                self._project_from(old_genome, index, proposals)
         log.info("%d proposals made, %d merged, %d rejected, %d too weak, "
                  "%d too little evidence, %d kept.", proposals.made,
                  proposals.merged, proposals.rejected, proposals.weak,
@@ -307,13 +528,129 @@ class ProjectionAnnotator:
 
     # ----- per close genome -----
 
-    def _project_from(self, old_genome: Genome, index: ContigKmerIndex,
+    def _project_all_stream(self, olds: list, index: StreamWindowIndex,
+                            proposals: PegProposalList) -> None:
+        """Project every close genome through ONE batched device step
+        (per-genome tables built on device, stream probed once per
+        genome via vmap), then scan/propose per genome in order —
+        proposal insertion order matches the sequential reference loop
+        (KmerProcessor.java:183-270) exactly."""
+        k = self.k
+        sing = []
+        for og in olds:
+            lo, hi, peg_idx, pegs = peg_singleton_kmers(og, k)
+            log.info("%d unique peg kmers in %s.", len(lo), og.id)
+            sing.append((lo, hi, peg_idx, pegs))
+        live = [(i, s) for i, s in enumerate(sing) if len(s[0])]
+        if not live:
+            return
+        n_max = max(len(s[0]) for _, s in live)
+        s_pad = _bucket(n_max, 4096)
+        n_g = len(live)
+        s_lo = np.full((n_g, s_pad), 0xFFFFFFFF, np.uint32)
+        s_hi = np.full((n_g, s_pad), 0xFFFFFFFF, np.uint32)
+        s_peg = np.zeros((n_g, s_pad), np.uint32)
+        for j, (_, (lo, hi, peg_idx, _)) in enumerate(live):
+            s_lo[j, : len(lo)] = lo
+            s_hi[j, : len(hi)] = hi
+            s_peg[j, : len(peg_idx)] = peg_idx
+        n_buckets = device_table_buckets(s_pad)
+        n_stream = index.d_lo.shape[0]
+        cap = min(_bucket(2 * n_max + 4096, 1 << 14),
+                  _bucket(n_stream, 1))
+        while True:
+            pos_s, pay_s, n_hits, bad = _probe_compact_batch(
+                jnp.asarray(s_lo), jnp.asarray(s_hi), jnp.asarray(s_peg),
+                index.d_lo, index.d_hi, index.d_valid,
+                n_buckets=n_buckets, cap=cap,
+                max_probes=MAX_DEVICE_PROBES)
+            if bool(bad):
+                # astronomically rare: retry each genome separately
+                # (the per-genome path host-builds the offending table)
+                log.warning("device singleton-table build overflowed; "
+                            "retrying close genomes one at a time")
+                for og in olds:
+                    self._project_from(og, index, proposals)
+                return
+            counts = np.asarray(n_hits)
+            if int(counts.max()) <= cap or cap >= n_stream:
+                break
+            cap = min(cap * 2, _bucket(n_stream, 1))
+        for j, (_, (lo, hi, peg_idx, pegs)) in enumerate(live):
+            total = int(counts[j])
+            log.info("%d matching kmers found.", total)
+            if total == 0:
+                continue
+            pos = np.asarray(pos_s[j, :total]).astype(np.int64)
+            pair_peg = np.asarray(pay_s[j, :total])
+            l_contig, l_strand, l_left = index.locate(pos)
+            self._scan_and_propose(l_contig, l_strand, l_left, pair_peg,
+                                   pegs, index.contig_ids, proposals)
+
+    def _project_from(self, old_genome: Genome, index,
                       proposals: PegProposalList) -> None:
         k = self.k
         lo, hi, peg_idx, pegs = peg_singleton_kmers(old_genome, k)
         log.info("%d unique peg kmers in %s.", len(lo), old_genome.id)
         if not len(lo):
             return
+        if isinstance(index, StreamWindowIndex):
+            got = self._match_stream(index, lo, hi, peg_idx)
+        else:
+            got = self._match_host_index(index, lo, hi, peg_idx)
+        if got is None:
+            return
+        l_contig, l_strand, l_left, pair_peg = got
+        log.info("%d matching kmers found.", len(l_left))
+        self._scan_and_propose(l_contig, l_strand, l_left, pair_peg,
+                               pegs, index.contig_ids, proposals)
+
+    def _match_stream(self, index: StreamWindowIndex, lo, hi, peg_idx):
+        """Device probe of the window stream against the singleton table
+        (built on device inside the same jitted step)."""
+        n = len(lo)
+        n_pad = _bucket(n, 4096)
+        s_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+        s_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+        s_peg = np.zeros(n_pad, np.uint32)
+        s_lo[:n] = lo
+        s_hi[:n] = hi
+        s_peg[:n] = peg_idx
+        n_buckets = device_table_buckets(n_pad)
+        n_stream = index.d_lo.shape[0]
+        cap = min(_bucket(2 * n + 4096, 1 << 14), _bucket(n_stream, 1))
+        host_table = None
+        while True:
+            if host_table is None:
+                pos_buf, peg_buf, n_hits, bad = _probe_compact(
+                    jnp.asarray(s_lo), jnp.asarray(s_hi),
+                    jnp.asarray(s_peg), index.d_lo, index.d_hi,
+                    index.d_valid, n_buckets=n_buckets, cap=cap,
+                    max_probes=MAX_DEVICE_PROBES)
+                if bool(bad):
+                    log.warning("device singleton-table build overflowed "
+                                "(%d keys); using the host build", n)
+                    host_table = build_table(lo, hi,
+                                             peg_idx.astype(np.uint32))
+                    continue
+            else:
+                table, mp = host_table
+                pos_buf, peg_buf, n_hits = _probe_compact_pre(
+                    jnp.asarray(table), index.d_lo, index.d_hi,
+                    index.d_valid, cap=cap, max_probes=mp)
+            total = int(n_hits)
+            if total <= cap or cap >= n_stream:
+                break
+            cap = min(cap * 2, _bucket(n_stream, 1))
+        if total == 0:
+            return None
+        pos = np.asarray(pos_buf[:total]).astype(np.int64)
+        pair_peg = np.asarray(peg_buf[:total])
+        l_contig, l_strand, l_left = index.locate(pos)
+        return l_contig, l_strand, l_left, pair_peg
+
+    def _match_host_index(self, index: ContigKmerIndex, lo, hi, peg_idx):
+        """Probe singletons into the host contig index + CSR expansion."""
         ranks = np.asarray(probe_table(
             index.table, jnp.asarray(lo), jnp.asarray(hi),
             jnp.ones(len(lo), bool), index.max_probes))
@@ -321,7 +658,7 @@ class ProjectionAnnotator:
         ranks = ranks[hit]
         peg_hit = peg_idx[hit]
         if not len(ranks):
-            return
+            return None
         # CSR expansion: each (peg, rank) pair fans out to counts[rank] locs
         counts = index.counts[ranks]
         starts = index.starts[ranks]
@@ -330,11 +667,16 @@ class ProjectionAnnotator:
                                             counts)
         loc_idx = np.repeat(starts, counts) + offs
         pair_peg = np.repeat(peg_hit, counts)
-        l_contig = index.loc_contig[loc_idx]
-        l_strand = index.loc_strand[loc_idx]
-        l_left = index.loc_left[loc_idx]
+        return (index.loc_contig[loc_idx], index.loc_strand[loc_idx],
+                index.loc_left[loc_idx], pair_peg)
+
+    def _scan_and_propose(self, l_contig, l_strand, l_left, pair_peg,
+                          pegs, contig_ids, proposals) -> None:
+        """Shared window-scan tail (Q6/Q7): identical for both match
+        paths — the (frame, peg, contig, left) sort fully determines
+        candidate order, so the pair source order never matters."""
+        k = self.k
         l_right = l_left + 3 * k - 1                 # Q4: span 3K bases
-        log.info("%d matching kmers found.", total)
 
         # frame of each location: '+' → P(left%3), '-' → M(right%3)
         frame = np.where(l_strand == 0, 3 + l_left % 3, l_right % 3)
@@ -400,7 +742,7 @@ class ProjectionAnnotator:
         cand_peg = g_peg[group_starts][group_id[live]]
         peg_funcs = [f.function for f in pegs]
         stored = proposals.propose_batch(
-            s_contig[live].astype(np.int64), index.contig_ids,
+            s_contig[live].astype(np.int64), contig_ids,
             l_strand[order[live]].astype(np.int64),
             s_left[live], best_edge_v[live], evidence_v[live],
             cand_peg, peg_funcs)
@@ -410,7 +752,7 @@ class ProjectionAnnotator:
                     continue
                 gi = live[ci]
                 peg = pegs[cand_peg[ci]]
-                whole = Location(index.contig_ids[int(s_contig[gi])],
+                whole = Location(contig_ids[int(s_contig[gi])],
                                  "+" if l_strand[order[gi]] == 0 else "-",
                                  int(s_left[gi]), int(best_edge_v[gi]))
                 log.info("Proposal stored using %s at location %s with "

@@ -126,6 +126,62 @@ def build_table(key_lo, key_hi, values, n_buckets: int | None = None,
     return table, walk_max + 1
 
 
+def build_table_device(key_lo, key_hi, values, n_buckets: int):
+    """Jit-composable DEVICE build of the bucketed table.
+
+    Same greedy sorted placement as :func:`build_table`, expressed as
+    sort + associative max-scan + scatter so it runs inside a jitted
+    program (the projection engine builds a fresh singleton table per
+    close genome ON DEVICE — pushing raw keys costs ~3× less transfer
+    than pushing a built table, and the build itself is ~ms).
+
+    key_lo/key_hi: (N,) uint32 packed keys; padding entries use
+    ``EMPTY`` (no packed kmer reaches it) and are skipped.
+    values: (N,) uint32 payloads.
+
+    returns (table (n_buckets, 3*BUCKET) uint32,
+             bad bool scalar — True when a real key overflowed the walk
+             bound or wrapped past the last bucket; callers must then
+             fall back to the host build (load factor 0.25 makes this
+             astronomically rare for hash-mixed keys))
+    """
+    n = key_lo.shape[0]
+    mask = jnp.uint32(n_buckets - 1)
+    real = key_lo != EMPTY
+    home = jnp.where(
+        real, (mix_kmer(key_lo, key_hi, jnp) & mask).astype(jnp.int32),
+        jnp.int32(n_buckets))               # pads sort last, then drop
+    order = jnp.argsort(home)
+    hb = home[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    pos = ar + jax.lax.associative_scan(jnp.maximum, hb * BUCKET - ar)
+    ok = pos < n_buckets * BUCKET
+    walk = jnp.where(ok, pos // BUCKET - hb, 0)
+    bad = jnp.any(real[order] & (~ok | (walk >= MAX_DEVICE_PROBES)))
+    drop = jnp.where(ok, pos, n_buckets * BUCKET)
+    flat_lo = jnp.full(n_buckets * BUCKET + 1, EMPTY, jnp.uint32
+                       ).at[drop].set(key_lo[order], mode="drop")[:-1]
+    flat_hi = jnp.full(n_buckets * BUCKET + 1, EMPTY, jnp.uint32
+                       ).at[drop].set(key_hi[order], mode="drop")[:-1]
+    flat_val = jnp.zeros(n_buckets * BUCKET + 1, jnp.uint32
+                         ).at[drop].set(values[order], mode="drop")[:-1]
+    table = jnp.concatenate([flat_lo.reshape(n_buckets, BUCKET),
+                             flat_hi.reshape(n_buckets, BUCKET),
+                             flat_val.reshape(n_buckets, BUCKET)], axis=1)
+    return table, bad
+
+
+MAX_DEVICE_PROBES = 2   # static probe bound for device-built tables
+
+
+def device_table_buckets(n_keys: int) -> int:
+    """Bucket count for device builds: load factor 0.125 (mean 1
+    key/bucket) makes a walk ≥ MAX_DEVICE_PROBES astronomically rare —
+    every probe round is a full unrolled gather pass over the query
+    batch, so fewer rounds beat a smaller table."""
+    return max(2, 1 << (max(n_keys, 2) - 1).bit_length())
+
+
 @partial(jax.jit, static_argnames=("max_probes",))
 def probe_table(table, key_lo, key_hi, valid, max_probes: int):
     """Look up a batch of keys (the hot path).

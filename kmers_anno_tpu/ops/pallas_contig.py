@@ -129,6 +129,35 @@ def _lut128(gc: int) -> np.ndarray:
     return _LUT128[gc]
 
 
+def scan_stream_device(stream: np.ndarray, k: int, gc: int,
+                       interpret: bool = False):
+    """Device-resident scan of a concatenated DNA stream.
+
+    Like :func:`strand_kmers_pallas` but returns DEVICE arrays (no host
+    pull) — the projection engine keeps the window keys on device and
+    probes them in place (the host pull of megabase-scale key arrays is
+    the single largest cost of the host-index path over a tunnel).
+
+    stream: (L,) uint8/int32 DNA codes; segments should be separated by
+            ≥ 3k-1 ambiguity codes (value ≥ 4) so no window crosses one.
+    returns (d_lo, d_hi, d_bad, n_pad) — flat device arrays of padded
+    length ``n_pad`` (multiple of ROWS*LANES); entries past
+    ``L - 3k + 1`` are garbage the caller must mask.
+    """
+    L = len(stream)
+    n_out = max(L - 3 * k + 1, 0)
+    blk = ROWS * LANES
+    n_blocks = max((n_out + blk - 1) // blk, 1)
+    width = n_blocks * blk + HALO_ROWS * LANES
+    padded = np.full(width, 4, np.int32)           # DNA_AMBIG padding
+    padded[:L] = stream
+    dna2d = jnp.asarray(padded.reshape(-1, LANES))
+    lo, hi, bad = _scan_device(dna2d, jnp.asarray(_lut128(gc)), k,
+                               n_blocks, interpret)
+    n_pad = n_blocks * blk
+    return (lo.reshape(-1), hi.reshape(-1), bad.reshape(-1), n_pad)
+
+
 def strand_kmers_pallas(codes: np.ndarray, k: int, gc: int,
                         interpret: bool = False):
     """Base-granularity (lo, hi, bad) for ONE strand's code array.

@@ -67,12 +67,13 @@ def test_peg_singletons_on_reference_fixture(small_gto):
     assert got == oracle_peg_singletons(small_gto, K)
 
 
-def test_annotate_matches_oracle(pair):
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_annotate_matches_oracle(pair, engine):
     new_genome, olds = pair
     want_props, want_stats = oracle_annotate(
         copy.deepcopy(new_genome), olds, k=K)
     genome = copy.deepcopy(new_genome)
-    annot = ProjectionAnnotator(k=K)
+    annot = ProjectionAnnotator(k=K, engine=engine)
     stats = annot.annotate_genome(genome, olds.get)
     for key, val in want_stats.items():
         assert stats[key] == val, f"stat {key}: {stats[key]} != {val}"
@@ -106,6 +107,84 @@ def test_annotate_finds_planted_genes(pair):
         src = next(p for p in old.pegs if p.function == f.function)
         assert f.protein_translation == src.protein_translation, \
             f"{f.function}: translation drift"
+
+
+def _rand_gene(rng, n_cod):
+    body = "".join("tcag"[c] for c in rng.integers(0, 4, 3 * n_cod))
+    codons = [body[j: j + 3] for j in range(0, len(body), 3)]
+    codons = [c for c in codons if c not in ("taa", "tag", "tga")]
+    return "atg" + "".join(codons) + "taa"
+
+
+@pytest.mark.parametrize("algo", ["AGGRESSIVE", "STRICT"])
+def test_stream_engine_matches_host_engine(algo):
+    """Device stream path ≡ host index path on a genome with duplicated
+    genes (multi-location kmers exercise STRICT), two contigs, and
+    mixed strands — features and counters must be identical."""
+    from kmers_anno_tpu.genome.dna import (DnaTranslator,
+                                           reverse_complement)
+    from kmers_anno_tpu.genome.gto import Genome
+
+    rng = np.random.default_rng(3)
+    xl = DnaTranslator(11)
+    genes = [_rand_gene(rng, int(rng.integers(40, 120)))
+             for _ in range(12)]
+    genes.append(genes[0])                      # duplicate gene
+
+    def spacer(n):
+        return "".join("acgt"[c] for c in rng.integers(0, 4, n))
+
+    c1, c2 = [spacer(40)], [spacer(25)]
+    for i, g in enumerate(genes):
+        tgt = c1 if i % 3 else c2
+        tgt.append(g if i % 2 == 0 else reverse_complement(g))
+        tgt.append(spacer(int(rng.integers(10, 60))))
+    c1.append(genes[1])                         # repeat on other contig
+
+    def old_genome(gid, shuffle):
+        feats = []
+        idxs = list(range(len(genes)))
+        if shuffle:
+            rng.shuffle(idxs)
+        for n, i in enumerate(idxs):
+            prot = xl.peg_translate(genes[i], 1, len(genes[i]) - 3)
+            feats.append({
+                "id": f"fig|{gid}.peg.{n + 1}", "type": "CDS",
+                "function": f"Role {i}",
+                "location": [["oc", str(1000 * n + 1), "+",
+                              len(genes[i])]],
+                "protein_translation": prot, "annotations": [],
+                "aliases": []})
+        return Genome({"id": gid, "scientific_name": "O",
+                       "genetic_code": 11, "domain": "Bacteria",
+                       "features": feats,
+                       "contigs": [{"id": "oc", "dna": "acgt" * 30}],
+                       "close_genomes": [], "subsystems": []})
+
+    olds = {f"31{i}.1": old_genome(f"31{i}.1", i) for i in range(3)}
+    base = Genome({
+        "id": "401.1", "scientific_name": "N", "genetic_code": 11,
+        "domain": "Bacteria", "features": [],
+        "contigs": [{"id": "nc1", "dna": "".join(c1),
+                     "genetic_code": 11},
+                    {"id": "nc2", "dna": "".join(c2),
+                     "genetic_code": 11}],
+        "close_genomes": [{"genome": g, "genome_name": "O",
+                           "closeness_measure": 99.0} for g in olds],
+        "subsystems": []})
+
+    res = {}
+    for engine in ("host", "device"):
+        g = copy.deepcopy(base)
+        stats = ProjectionAnnotator(
+            k=K, engine=engine, algorithm=algo).annotate_genome(
+                g, olds.get)
+        feats = [(f.id, f.function, f.location.contig_id,
+                  f.location.strand, f.location.left, f.location.right,
+                  f.protein_translation) for f in g.pegs]
+        res[engine] = (stats, feats)
+    assert res["host"] == res["device"]
+    assert res["host"][0]["kept"] > 0
 
 
 def test_cli_kmers_roundtrip(pair, tmp_path):
