@@ -381,22 +381,19 @@ def bench_build(rng):
                 pipeline="encode+pack+stream-groupby (C++ loader)")
 
 
-def bench_projection(rng):
-    """ORF-projection (`kmers`) seconds/genome, warm, on a synthetic
-    realistic-size genome: ~1.4 Mb contig, 700 planted genes, 3 close
-    genomes (KmerProcessor.annotateGenome; BatchKmerProcessor.java:76
-    logs the same metric)."""
-    from kmers_anno_tpu.engine.projection import ProjectionAnnotator
+def _make_projection_workload(rng, n_genes, n_close, lo_cod=60,
+                              hi_cod=500):
+    """Synthetic genome with planted clean ORFs + close genomes carrying
+    the source proteins (untimed generation)."""
     from kmers_anno_tpu.genome.dna import (DnaTranslator,
                                            reverse_complement)
     from kmers_anno_tpu.genome.gto import Genome
 
     xl = DnaTranslator(11)
-    n_genes = 700
     parts = ["".join("acgt"[c] for c in rng.integers(0, 4, 50))]
     genes = []
     for i in range(n_genes):
-        n_cod = int(rng.integers(60, 500))
+        n_cod = int(rng.integers(lo_cod, hi_cod))
         body = "".join("tcag"[c] for c in rng.integers(0, 4, 3 * n_cod))
         # force a clean ORF: atg + stop-free frame + taa
         codons = [body[j: j + 3] for j in range(0, len(body), 3)]
@@ -408,15 +405,16 @@ def bench_projection(rng):
         genes.append(gene)
     dna = "".join(parts)
 
+    prots = [xl.peg_translate(g, 1, len(g) - 3) for g in genes]
+
     def old_genome(gid):
         feats = []
         for i, gene in enumerate(genes):
-            prot = xl.peg_translate(gene, 1, len(gene) - 3)
             feats.append({
                 "id": f"fig|{gid}.peg.{i + 1}", "type": "CDS",
                 "function": f"Projected role number {i + 1}",
                 "location": [["oc", str(1000 * i + 1), "+", len(gene)]],
-                "protein_translation": prot,
+                "protein_translation": prots[i],
                 "annotations": [], "aliases": []})
         return Genome({
             "id": gid, "scientific_name": "Oldus", "genetic_code": 11,
@@ -424,7 +422,7 @@ def bench_projection(rng):
             "contigs": [{"id": "oc", "dna": "acgt" * 50}],
             "close_genomes": [], "subsystems": []})
 
-    olds = {f"30{i}.1": old_genome(f"30{i}.1") for i in range(3)}
+    olds = {f"30{i}.1": old_genome(f"30{i}.1") for i in range(n_close)}
 
     def new_genome():
         return Genome({
@@ -436,14 +434,74 @@ def bench_projection(rng):
                  "closeness_measure": 99.0} for gid in olds],
             "subsystems": []})
 
+    return dna, olds, new_genome
+
+
+def _cpp_projection_baseline(new_genome, olds, k):
+    """Single-core compiled hot-loop time (kan_proj_*): contig map build
+    + per-close-genome singleton/probe/window-scan — the compiled
+    stand-in for single-core Java annotateGenome (KmerProcessor.java:
+    166-287).  Returns (seconds, total pairs) or None."""
+    from kmers_anno_tpu import native
+    from kmers_anno_tpu.ops.encode import encode_dna
+    from kmers_anno_tpu.ops.translate import codon_lut
+
+    if not native.available():
+        return None
+    g = new_genome()
+    prot_sets = [[f.protein_translation for f in og.pegs
+                  if f.protein_translation] for og in olds.values()]
+    codes = [encode_dna(c.sequence) for c in g.contigs]
+    lut = np.asarray(codon_lut(g.genetic_code), np.uint8)
+    t0 = time.perf_counter()
+    pb = native.ProjectionBaseline(codes, lut, k)
+    pairs = 0
+    for prots in prot_sets:
+        p, _, _ = pb.match(prots, 0.50, 1.5, 0.8)
+        pairs += p
+    dt = time.perf_counter() - t0
+    pb.close()
+    return dt, pairs
+
+
+def bench_projection(rng):
+    """ORF-projection (`kmers`) seconds/genome, warm (the metric
+    BatchKmerProcessor.java:76 logs), at two scales:
+
+    * small: ~0.6 Mb contig, 700 planted genes, 3 close genomes
+    * realistic: ~3.7 Mb contig, 3500 genes, 10 close genomes
+      (KmerProcessor.java:144 nGenomes=10), with the single-core
+      compiled hot-loop baseline (kan_proj_*) for vs_compiled
+    """
+    from kmers_anno_tpu.engine.projection import ProjectionAnnotator
+
+    out = {}
+    dna, olds, new_genome = _make_projection_workload(rng, 700, 3)
     annot = ProjectionAnnotator(k=K)
     stats = annot.annotate_genome(new_genome(), olds.get)  # compile + warm
     t0 = time.perf_counter()
     stats = annot.annotate_genome(new_genome(), olds.get)
     dt = time.perf_counter() - t0
-    return dict(contig_bases=len(dna), genes_planted=n_genes,
-                close_genomes=len(olds), pegs_called=stats["pegs"],
-                seconds_per_genome=round(dt, 3))
+    out.update(contig_bases=len(dna), genes_planted=700,
+               close_genomes=len(olds), pegs_called=stats["pegs"],
+               seconds_per_genome=round(dt, 3))
+
+    dna, olds, new_genome = _make_projection_workload(rng, 3500, 10)
+    annot = ProjectionAnnotator(k=K)
+    stats = annot.annotate_genome(new_genome(), olds.get)  # compile + warm
+    t0 = time.perf_counter()
+    stats = annot.annotate_genome(new_genome(), olds.get)
+    dt = time.perf_counter() - t0
+    cpp = _cpp_projection_baseline(new_genome, olds, K)
+    out["realistic"] = dict(
+        contig_bases=len(dna), genes_planted=3500, close_genomes=len(olds),
+        pegs_called=stats["pegs"], seconds_per_genome=round(dt, 3),
+        compiled_core_seconds=round(cpp[0], 3) if cpp else None,
+        vs_compiled=round(cpp[0] / dt, 2) if cpp else None,
+        note=("compiled baseline covers hot loops 1-4 only (contig map, "
+              "singletons, probe, window scan); the engine time also "
+              "includes the shared propose/extend/emit tail"))
+    return out
 
 
 def bench_mesh_scaling():

@@ -97,6 +97,14 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kan_build_free.argtypes = [ctypes.c_void_p]
         lib.kan_groupby.restype = i64
         lib.kan_groupby.argtypes = [u32p, u32p, i64, i32p, i64p]
+        lib.kan_proj_new.restype = ctypes.c_void_p
+        lib.kan_proj_new.argtypes = [u8p, i64p, i64, u8p, i32]
+        lib.kan_proj_map_size.restype = i64
+        lib.kan_proj_map_size.argtypes = [ctypes.c_void_p]
+        lib.kan_proj_match.argtypes = [
+            ctypes.c_void_p, u8p, i64p, i64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, i64p]
+        lib.kan_proj_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -298,3 +306,55 @@ def read_fasta(path: str) -> list[tuple[str, str, str]] | None:
         out.append((label, comment, sq[offs[i]: offs[i + 1]].decode(
             "ascii", "replace")))
     return out
+
+
+class ProjectionBaseline:
+    """Single-core compiled ORF-projection hot loops (kan_proj_* in
+    kan_host.cpp) — the honest stand-in for the reference's single-core
+    Java annotateGenome path (KmerProcessor.java:166-287).  Build the
+    contig kmer map once, then ``match`` each close genome's proteins;
+    returns (pairs, groups, live-candidate) counters for cross-checking
+    against the device engine."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, contig_codes: list[np.ndarray], lut65: np.ndarray,
+                 k: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        concat = np.ascontiguousarray(
+            np.concatenate(contig_codes) if contig_codes
+            else np.zeros(0, np.uint8), np.uint8)
+        offs = np.zeros(len(contig_codes) + 1, np.int64)
+        np.cumsum([len(c) for c in contig_codes], out=offs[1:])
+        self._h = lib.kan_proj_new(
+            concat, offs, len(contig_codes),
+            np.ascontiguousarray(lut65, np.uint8), k)
+        if not self._h:
+            raise MemoryError("kan_proj_new failed")
+
+    def map_size(self) -> int:
+        return int(self._lib.kan_proj_map_size(self._h))
+
+    def match(self, proteins: list[str], min_strength: float,
+              max_fuzz: float, min_fuzz: float) -> tuple[int, int, int]:
+        concat_b, offs = _concat_offsets(proteins)
+        codes = np.empty(len(concat_b), np.uint8)
+        self._lib.kan_encode_protein(concat_b, len(concat_b), codes)
+        out = np.zeros(3, np.int64)
+        self._lib.kan_proj_match(self._h, codes, offs, len(proteins),
+                                 min_strength, max_fuzz, min_fuzz, out)
+        return int(out[0]), int(out[1]), int(out[2])
+
+    def close(self):
+        if self._h:
+            self._lib.kan_proj_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

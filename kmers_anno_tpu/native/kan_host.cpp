@@ -21,6 +21,7 @@
 #include <iterator>
 #include <new>
 #include <string>
+#include <unordered_map>
 #include <utility>
 #include <vector>
 
@@ -481,5 +482,213 @@ void kan_fasta_fill(void* h, char* seq, int64_t* offs, char* hdr,
   memcpy(hoffs, fa->hoffs.data(), fa->hoffs.size() * sizeof(int64_t));
 }
 void kan_fasta_free(void* h) { delete static_cast<KanFasta*>(h); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// single-core compiled projection baseline (handle-based)
+// ---------------------------------------------------------------------------
+//
+// The compiled stand-in for the reference's single-core ORF-projection hot
+// loops (KmerProcessor.annotateGenome, KmerProcessor.java:166-287): contig
+// 6-frame kmer HashMap build (hot loop #1, KmerReference.java:180-203),
+// per-close-genome peg-kmer singleton counting (#2, KmerProcessor.java:
+// 319-327), singleton hash probe into the contig map (#3, 197-207), and
+// the (peg, frame) window scan (#4, 240-254).  Same HashMap-per-kmer
+// dataflow the Java runs, in C++ with packed integer keys — so the
+// reported device multiple is conservative.  The downstream proposal
+// extend/filter/dedup is host-shared between both engines and excluded.
+
+namespace {
+
+struct ProjLoc {
+  int32_t contig;
+  int32_t left;
+  uint8_t strand;
+};
+
+struct KanProj {
+  int k;
+  std::unordered_map<uint64_t, std::vector<ProjLoc>> map;
+};
+
+inline uint64_t kan_proj_key(uint32_t lo, uint32_t hi) {
+  return (static_cast<uint64_t>(hi) << 32) | lo;
+}
+
+constexpr uint8_t PROT_X = 23;
+
+}  // namespace
+
+extern "C" {
+
+// dna: concatenated contig codes (0..3, 4 = ambiguous); offs (n_contigs+1)
+// lut65: codon -> aa-code LUT, entry [64] = ambiguous-codon result
+void* kan_proj_new(const uint8_t* dna, const int64_t* offs,
+                   int64_t n_contigs, const uint8_t* lut65, int32_t k) {
+  auto* h = new (std::nothrow) KanProj();
+  if (!h) return nullptr;
+  h->k = k;
+  const int64_t k3 = 3 * k;
+  std::vector<uint8_t> rc;
+  std::vector<uint8_t> aa;
+  for (int64_t c = 0; c < n_contigs; ++c) {
+    const uint8_t* seq = dna + offs[c];
+    const int64_t L = offs[c + 1] - offs[c];
+    rc.assign(seq, seq + L);
+    std::reverse(rc.begin(), rc.end());
+    for (auto& b : rc)
+      if (b < 4) b ^= 2;
+    for (int strand = 0; strand < 2; ++strand) {
+      const uint8_t* s = strand == 0 ? seq : rc.data();
+      for (int f = 0; f < 3; ++f) {
+        const int64_t flen = (L - f) / 3;
+        if (flen <= k) continue;
+        aa.resize(static_cast<size_t>(flen));
+        for (int64_t p = 0; p < flen; ++p) {
+          const uint8_t c0 = s[f + 3 * p], c1 = s[f + 3 * p + 1],
+                        c2 = s[f + 3 * p + 2];
+          aa[p] = (c0 > 3 || c1 > 3 || c2 > 3)
+                      ? lut65[64]
+                      : lut65[c0 * 16 + c1 * 4 + c2];
+        }
+        for (int64_t p = 0; p < flen - k; ++p) {  // Q1 strict drop-last
+          uint32_t lo = 0, hi = 0;
+          bool bad = false;
+          for (int j = 0; j < k; ++j) {
+            const uint8_t a = aa[p + j];          // Q2: reject '*'/'X'
+            if (a == PROT_X || a == PROT_STOP || a >= PROT_PAD) {
+              bad = true;
+              break;
+            }
+            if (j < 6) lo |= static_cast<uint32_t>(a) << (5 * j);
+            else hi |= static_cast<uint32_t>(a) << (5 * (j - 6));
+          }
+          if (bad) continue;
+          const int64_t base = 3 * p + f;
+          const int32_t left =
+              strand == 0 ? static_cast<int32_t>(base + 1)
+                          : static_cast<int32_t>(L - k3 + 1 - base);
+          h->map[kan_proj_key(lo, hi)].push_back(
+              {static_cast<int32_t>(c), left,
+               static_cast<uint8_t>(strand)});
+        }
+      }
+    }
+  }
+  return h;
+}
+
+int64_t kan_proj_map_size(void* hv) {
+  return static_cast<int64_t>(static_cast<KanProj*>(hv)->map.size());
+}
+
+// prots: concatenated protein codes of one close genome; offs (n_pegs+1)
+// out[0] = matched (peg, location) pairs, out[1] = (peg, frame) groups,
+// out[2] = live window candidates (pre-dedup proposals)
+void kan_proj_match(void* hv, const uint8_t* prots, const int64_t* offs,
+                    int64_t n_pegs, double min_strength, double max_fuzz,
+                    double min_fuzz, int64_t* out) {
+  auto* h = static_cast<KanProj*>(hv);
+  const int k = h->k;
+  const int64_t k3 = 3 * k;
+
+  // hot loop #2: count peg kmers, keep singletons (Q5)
+  struct Cnt { int32_t count; int32_t peg; };
+  std::unordered_map<uint64_t, Cnt> counts;
+  counts.reserve(static_cast<size_t>(offs[n_pegs]));
+  for (int64_t s = 0; s < n_pegs; ++s) {
+    const uint8_t* p = prots + offs[s];
+    const int64_t plen = offs[s + 1] - offs[s];
+    for (int64_t i = 0; i < plen - k; ++i) {      // Q1 strict drop-last
+      uint32_t lo = 0, hi = 0;
+      bool bad = false;
+      for (int j = 0; j < k; ++j) {
+        const uint8_t a = p[i + j];               // Q2 peg path: 'X' only
+        if (a == PROT_X || a >= PROT_PAD) {
+          bad = true;
+          break;
+        }
+        if (j < 6) lo |= static_cast<uint32_t>(a) << (5 * j);
+        else hi |= static_cast<uint32_t>(a) << (5 * (j - 6));
+      }
+      if (bad) continue;
+      auto& e = counts[kan_proj_key(lo, hi)];
+      ++e.count;
+      e.peg = static_cast<int32_t>(s);
+    }
+  }
+
+  // hot loop #3: probe singletons, expand location lists to pairs
+  struct Pair {
+    int32_t frame, peg, contig, left;
+  };
+  std::vector<Pair> pairs;
+  for (const auto& kv : counts) {
+    if (kv.second.count != 1) continue;
+    auto it = h->map.find(kv.first);
+    if (it == h->map.end()) continue;
+    for (const ProjLoc& loc : it->second) {
+      const int32_t right = loc.left + static_cast<int32_t>(k3) - 1;
+      const int32_t frame =
+          loc.strand == 0 ? 3 + loc.left % 3 : right % 3;
+      pairs.push_back({frame, kv.second.peg, loc.contig, loc.left});
+    }
+  }
+  out[0] = static_cast<int64_t>(pairs.size());
+
+  // hot loop #4: (frame, peg) window scan (Q6)
+  std::sort(pairs.begin(), pairs.end(), [](const Pair& a, const Pair& b) {
+    if (a.frame != b.frame) return a.frame < b.frame;
+    if (a.peg != b.peg) return a.peg < b.peg;
+    if (a.contig != b.contig) return a.contig < b.contig;
+    return a.left < b.left;
+  });
+  int64_t groups = 0, live = 0;
+  const int64_t m = static_cast<int64_t>(pairs.size());
+  int64_t gs = 0;
+  while (gs < m) {
+    int64_t ge = gs + 1;
+    while (ge < m && pairs[ge].frame == pairs[gs].frame &&
+           pairs[ge].peg == pairs[gs].peg)
+      ++ge;
+    ++groups;
+    const int64_t size = ge - gs;
+    const int64_t plen3 =
+        3 * (offs[pairs[gs].peg + 1] - offs[pairs[gs].peg]);
+    const int64_t max_len = static_cast<int64_t>(plen3 * max_fuzz + 1);
+    const int64_t min_len = static_cast<int64_t>(plen3 * min_fuzz);
+    const int64_t min_k = static_cast<int64_t>(plen3 * (min_strength / 3));
+    if (min_k <= size) {
+      int64_t rs = gs;
+      while (rs < ge) {                    // contig runs; rights ascend
+        int64_t re = rs + 1;
+        while (re < ge && pairs[re].contig == pairs[rs].contig) ++re;
+        for (int64_t i = rs; i < re; ++i) {
+          if (i - gs > size - min_k) break;
+          const int64_t left = pairs[i].left;
+          const int64_t edge = left + max_len;
+          // first j in the run with right >= edge (rights sorted)
+          int64_t lo_j = rs, hi_j = re;
+          while (lo_j < hi_j) {
+            const int64_t mid = (lo_j + hi_j) / 2;
+            if (pairs[mid].left + k3 - 1 < edge) lo_j = mid + 1;
+            else hi_j = mid;
+          }
+          const int64_t ub = lo_j;
+          const int64_t bi = ub - 1 > i ? ub - 1 : i;
+          const int64_t best_edge = pairs[bi].left + k3 - 1;
+          if (best_edge >= left + min_len) ++live;
+        }
+        rs = re;
+      }
+    }
+    gs = ge;
+  }
+  out[1] = groups;
+  out[2] = live;
+}
+
+void kan_proj_free(void* hv) { delete static_cast<KanProj*>(hv); }
 
 }  // extern "C"

@@ -113,20 +113,57 @@ def probe_windowed(wtable, key_lo, key_hi, valid, max_probes: int):
     return jnp.where(valid.reshape(-1), val, -1).reshape(shape)
 
 
-@partial(jax.jit, static_argnames=("max_probes",))
-def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int):
+MXU_SLICE_ROWS = 512      # rows per one-hot matmul slice
+
+
+def _mxu_gather(slab_bytes, lb, s_rows: int):
+    """Gather rows from a VMEM-size slab with an MXU one-hot matmul.
+
+    The XLA row gather issues one descriptor per row (~166M rows/s,
+    latency-bound); a (Q, R) one-hot × (R, 4·W) byte-plane matmul moves
+    the same rows through the systolic array at MXU rates instead —
+    measured ~2× end-to-end on the 10M-entry sliced probe.  Exactness:
+    the one-hot is exact in bf16, each byte plane value ≤ 255 is exact
+    in bf16, and each output element has exactly one nonzero product
+    term, so the f32 accumulation is exact.
+
+    slab_bytes: (R, 4·W) bf16 byte planes (plane-major: byte b of word
+                w sits at column b·W + w)
+    lb:         (Q,) int32 row index per query (clipped to [0, R))
+    returns     (Q, W) uint32 reassembled rows
+    """
+    w4 = slab_bytes.shape[1]
+    w = w4 // 4
+    onehot = (lb[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, s_rows), 1)).astype(jnp.bfloat16)
+    planes = jax.lax.dot_general(
+        onehot, slab_bytes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = [planes[:, i * w: (i + 1) * w].astype(jnp.uint32)
+         for i in range(4)]
+    return (p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24))
+
+
+@partial(jax.jit, static_argnames=("max_probes", "mxu"))
+def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
+                       mxu: bool = True):
     """Sort-and-stream probe of a windowed table (the big-table hot path).
 
     wtable: (B, 24·max_probes) uint32 from ``windowed_table`` (device-
             resident; B a power of two)
     key_lo/key_hi: (N,) uint32 query keys
     valid:  (N,) bool — invalid queries return -1
+    mxu:    gather slice rows through the one-hot matmul (_mxu_gather)
+            instead of the XLA row gather (~2× on 10M-entry tables)
     returns (N,) int32 — stored payload, or -1 on miss/invalid
     """
     n = key_lo.shape[0]
     nb = wtable.shape[0]
     roww = wtable.shape[1]
-    s_rows = min(nb, MAX_SLICE_ROWS)
+    # the one-hot matmul only pays when each slice sees a full MXU tile
+    # of queries; thin batches keep the plain slice gather
+    mxu = mxu and n // max(nb // MXU_SLICE_ROWS, 1) >= 512
+    s_rows = min(nb, MXU_SLICE_ROWS if mxu else MAX_SLICE_ROWS)
     n_slices = nb // s_rows
     # hash-uniform slice populations concentrate at n/G with std ~sqrt:
     # 1.25× the mean is a huge margin, and every padded row is a wasted
@@ -154,7 +191,14 @@ def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int):
             qh = jax.lax.dynamic_slice(hi_p, (start,), (qwin,))
             sl = jax.lax.dynamic_slice(wtable, (g * s_rows, 0),
                                        (s_rows, roww))
-            rows = sl[jnp.clip(lb, 0, s_rows - 1)]
+            lbc = jnp.clip(lb, 0, s_rows - 1)
+            if mxu:
+                sl_b = jnp.concatenate(
+                    [(sl >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                     for i in range(4)], axis=1).astype(jnp.bfloat16)
+                rows = _mxu_gather(sl_b, lbc, s_rows)
+            else:
+                rows = sl[lbc]
             val = _compare_window(rows, ql, qh, max_probes)
             # windows overlap forward only: garbage tail beyond this
             # slice's real count is rewritten by later (higher-g) steps
