@@ -25,8 +25,10 @@ Pipeline, re-architected for the device:
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -188,74 +190,53 @@ def _strict_window_mask(d_lo, d_hi, d_valid):
     return jnp.zeros(n, bool).at[spos].set(keep)
 
 
-def _compact_hits(pay, cap: int):
-    """Sort-compact hit payloads: (positions, pegs, n_hits).
+@partial(jax.jit, static_argnames=("n_buckets",))
+def _build_singleton_table(s_lo, s_hi, s_peg, n_buckets: int):
+    """Device build of one close genome's singleton table (cacheable)."""
+    return build_table_device(s_lo, s_hi, s_peg, n_buckets)
 
-    A stable (miss-flag, position) sort beats the scatter compaction by
-    ~6× on TPU (scatters serialize; the batched sort does not) and keeps
-    hits in stream order."""
+
+@partial(jax.jit, static_argnames=("cap", "rcap", "max_probes"))
+def _probe_rle(table, d_lo, d_hi, d_valid, *,
+               cap: int, rcap: int, max_probes: int):
+    """Probe the window stream against a singleton table and return the
+    hits RUN-LENGTH ENCODED.
+
+    Matched windows are overwhelmingly CONSECUTIVE stream positions with
+    the same peg (a projected gene body matches at every window until a
+    mismatch breaks the run), so (start, length, peg) triples compress
+    the host pull by one to two orders of magnitude — and host↔device
+    transfers, not compute, dominate this path on a tunneled device.
+
+    returns (starts (rcap,), pegs (rcap,), lens (rcap,) int32,
+             n_runs, n_hits int32 scalars)
+    Results are ONLY valid when n_hits <= cap and n_runs <= rcap —
+    callers must retry with bigger caps otherwise.
+    """
+    pay = probe_table(table, d_lo.astype(jnp.uint32),
+                      d_hi.astype(jnp.uint32), d_valid, max_probes)
     hit = pay >= 0
-    n_hits = jnp.sum(hit.astype(jnp.int32), axis=-1)
+    n_hits = jnp.sum(hit.astype(jnp.int32))
     miss = jnp.where(hit, jnp.int8(0), jnp.int8(1))
-    pos = jnp.broadcast_to(
-        jnp.arange(pay.shape[-1], dtype=jnp.int32), pay.shape)
+    pos = jnp.arange(pay.shape[0], dtype=jnp.int32)
+    # stable sort-compaction keeps hits in stream order
     _, pos_s, pay_s = jax.lax.sort((miss, pos, pay), num_keys=2)
-    return pos_s[..., :cap], pay_s[..., :cap], n_hits
-
-
-@partial(jax.jit, static_argnames=("n_buckets", "cap", "max_probes"))
-def _probe_compact(s_lo, s_hi, s_peg, d_lo, d_hi, d_valid, *,
-                   n_buckets: int, cap: int, max_probes: int):
-    """One fused device step per close genome: build the singleton table
-    on device, probe every contig window, compact the hits.
-
-    s_lo/s_hi: (S,) uint32 singleton keys padded with EMPTY
-    s_peg:     (S,) uint32 peg index payloads
-    d_lo/d_hi: (N,) int32 device window keys (stream order)
-    d_valid:   (N,) bool
-    returns (pos_buf (cap,) int32 — stream positions of hits 0..n-1,
-             peg_buf (cap,) int32 — matching peg index per hit,
-             n_hits int32 scalar, bad bool — device build overflow)
-    """
-    table, bad_build = build_table_device(s_lo, s_hi, s_peg, n_buckets)
-    pay = probe_table(table, d_lo.astype(jnp.uint32),
-                      d_hi.astype(jnp.uint32), d_valid, max_probes)
-    return (*_compact_hits(pay, cap), bad_build)
-
-
-@partial(jax.jit, static_argnames=("cap", "max_probes"))
-def _probe_compact_pre(table, d_lo, d_hi, d_valid, *,
-                       cap: int, max_probes: int):
-    """_probe_compact against a host-prebuilt table (the fallback for
-    the astronomically-rare device build overflow)."""
-    pay = probe_table(table, d_lo.astype(jnp.uint32),
-                      d_hi.astype(jnp.uint32), d_valid, max_probes)
-    return _compact_hits(pay, cap)
-
-
-@partial(jax.jit, static_argnames=("n_buckets", "cap", "max_probes"))
-def _probe_compact_batch(s_lo, s_hi, s_peg, d_lo, d_hi, d_valid, *,
-                         n_buckets: int, cap: int, max_probes: int):
-    """All close genomes in ONE device step: vmap the per-genome table
-    build + stream probe over the genome axis, then batch-compact.
-
-    s_lo/s_hi/s_peg: (G, S) padded singleton keys/payloads per genome
-    returns (pos (G, cap), peg (G, cap), n_hits (G,), bad bool scalar)
-
-    One dispatch + one sync for the whole close-genome set: on a
-    tunneled device the per-call round trips otherwise dominate the
-    projection wall time (measured ~100 ms/call vs ~30 ms of compute).
-    """
-    lo_u = d_lo.astype(jnp.uint32)
-    hi_u = d_hi.astype(jnp.uint32)
-
-    def one(a, b, c):
-        table, bad = build_table_device(a, b, c, n_buckets)
-        return probe_table(table, lo_u, hi_u, d_valid, max_probes), bad
-
-    pay, bad = jax.vmap(one)(s_lo, s_hi, s_peg)
-    pos_s, pay_s, n_hits = _compact_hits(pay, cap)
-    return pos_s, pay_s, n_hits, jnp.any(bad)
+    ps = pos_s[:cap]
+    gs = pay_s[:cap]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    ok = idx < n_hits
+    brk = jnp.concatenate([
+        jnp.ones(1, bool),
+        (ps[1:] != ps[:-1] + 1) | (gs[1:] != gs[:-1])]) & ok
+    n_runs = jnp.sum(brk.astype(jnp.int32))
+    rid = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    seg = jnp.where(ok, rid, cap)
+    lens = jax.ops.segment_sum(ok.astype(jnp.int32), seg,
+                               num_segments=cap + 1)[:cap]
+    nbrk = jnp.where(brk, jnp.int8(0), jnp.int8(1))
+    _, bidx = jax.lax.sort((nbrk, idx), num_keys=1)
+    return (ps[bidx][:rcap], gs[bidx][:rcap], lens[:rcap],
+            n_runs, n_hits)
 
 
 @dataclass
@@ -437,6 +418,15 @@ def peg_singleton_kmers(genome: Genome, k: int = 8):
 # the annotator
 # ---------------------------------------------------------------------------
 
+class _PegInfo(NamedTuple):
+    """The slice of a close-genome Feature the window scan needs (kept
+    in the device-table cache instead of whole Genome objects)."""
+
+    id: str
+    function: str
+    protein_length: int
+
+
 class ProjectionAnnotator:
     """Annotates genomes by projecting close-genome proteins onto ORFs."""
 
@@ -445,7 +435,8 @@ class ProjectionAnnotator:
                  min_evidence: int = 10, k: int = 8,
                  algorithm: str = "AGGRESSIVE",
                  trace_function: str | None = None,
-                 engine: str = "auto"):
+                 engine: str = "auto",
+                 table_cache_bytes: int = 4 << 30):
         if engine not in ("auto", "device", "host"):
             raise ValueError(f"unknown projection engine {engine!r}")
         if min_strength >= 1.0:
@@ -464,6 +455,8 @@ class ProjectionAnnotator:
         self.strict = algorithm.upper() == "STRICT"
         self.trace_function = trace_function
         self.engine = engine
+        self.table_cache_bytes = table_cache_bytes
+        self._table_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
     def _use_stream_index(self) -> bool:
         """Device stream path on accelerators; host index on plain CPU
@@ -528,126 +521,124 @@ class ProjectionAnnotator:
 
     # ----- per close genome -----
 
+    # ----- close-genome singleton tables (device-resident, cached) -----
+
+    def _close_table(self, old_genome: Genome):
+        """Device singleton table for one close genome, LRU-cached by
+        (genome id, k).
+
+        The reference recounts peg kmers per (new genome x close genome)
+        pair (KmerProcessor.java:195); a batch run reuses the same ~10
+        close genomes for every input genome, so memoizing the built
+        table removes both the singleton recount AND the host-to-device
+        push from the steady state (semantically identical: the table
+        depends only on the close genome, and transfers -- not compute --
+        dominate this path on a tunneled device).
+        """
+        key = (old_genome.id, self.k)
+        got = self._table_cache.get(key)
+        if got is not None:
+            self._table_cache.move_to_end(key)
+            return got
+        lo, hi, peg_idx, pegs = peg_singleton_kmers(old_genome, self.k)
+        peg_info = [_PegInfo(f.id, f.function, f.protein_length)
+                    for f in pegs]
+        n = len(lo)
+        if n == 0:
+            got = (None, 0, 0, peg_info)
+        else:
+            n_pad = _bucket(n, 4096)
+            s_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+            s_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+            s_peg = np.zeros(n_pad, np.uint32)
+            s_lo[:n] = lo
+            s_hi[:n] = hi
+            s_peg[:n] = peg_idx
+            table, bad = _build_singleton_table(
+                jnp.asarray(s_lo), jnp.asarray(s_hi), jnp.asarray(s_peg),
+                device_table_buckets(n_pad))
+            if bool(bad):
+                # astronomically rare: fall back to the host build
+                log.warning("device singleton-table build overflowed "
+                            "(%d keys); using the host build", n)
+                htable, mp = build_table(lo, hi, peg_idx.astype(np.uint32))
+                got = (jnp.asarray(htable), mp, n, peg_info)
+            else:
+                got = (table, MAX_DEVICE_PROBES, n, peg_info)
+        self._table_cache[key] = got
+        total = sum(e[0].nbytes for e in self._table_cache.values()
+                    if e[0] is not None)
+        while total > self.table_cache_bytes and len(self._table_cache) > 1:
+            _, e = self._table_cache.popitem(last=False)
+            if e[0] is not None:
+                total -= e[0].nbytes
+        return got
+
     def _project_all_stream(self, olds: list, index: StreamWindowIndex,
                             proposals: PegProposalList) -> None:
-        """Project every close genome through ONE batched device step
-        (per-genome tables built on device, stream probed once per
-        genome via vmap), then scan/propose per genome in order —
-        proposal insertion order matches the sequential reference loop
-        (KmerProcessor.java:183-270) exactly."""
-        k = self.k
-        sing = []
-        for og in olds:
-            lo, hi, peg_idx, pegs = peg_singleton_kmers(og, k)
-            log.info("%d unique peg kmers in %s.", len(lo), og.id)
-            sing.append((lo, hi, peg_idx, pegs))
-        live = [(i, s) for i, s in enumerate(sing) if len(s[0])]
-        if not live:
-            return
-        n_max = max(len(s[0]) for _, s in live)
-        s_pad = _bucket(n_max, 4096)
-        n_g = len(live)
-        s_lo = np.full((n_g, s_pad), 0xFFFFFFFF, np.uint32)
-        s_hi = np.full((n_g, s_pad), 0xFFFFFFFF, np.uint32)
-        s_peg = np.zeros((n_g, s_pad), np.uint32)
-        for j, (_, (lo, hi, peg_idx, _)) in enumerate(live):
-            s_lo[j, : len(lo)] = lo
-            s_hi[j, : len(hi)] = hi
-            s_peg[j, : len(peg_idx)] = peg_idx
-        n_buckets = device_table_buckets(s_pad)
+        """Project every close genome: dispatch ALL probe steps first
+        (the device pipelines them), then pull RLE-encoded hits and
+        scan/propose per genome in order -- proposal insertion order
+        matches the sequential reference loop (KmerProcessor.java:
+        183-270) exactly."""
         n_stream = index.d_lo.shape[0]
-        cap = min(_bucket(2 * n_max + 4096, 1 << 14),
-                  _bucket(n_stream, 1))
-        while True:
-            pos_s, pay_s, n_hits, bad = _probe_compact_batch(
-                jnp.asarray(s_lo), jnp.asarray(s_hi), jnp.asarray(s_peg),
-                index.d_lo, index.d_hi, index.d_valid,
-                n_buckets=n_buckets, cap=cap,
-                max_probes=MAX_DEVICE_PROBES)
-            if bool(bad):
-                # astronomically rare: retry each genome separately
-                # (the per-genome path host-builds the offending table)
-                log.warning("device singleton-table build overflowed; "
-                            "retrying close genomes one at a time")
-                for og in olds:
-                    self._project_from(og, index, proposals)
-                return
-            counts = np.asarray(n_hits)
-            if int(counts.max()) <= cap or cap >= n_stream:
-                break
-            cap = min(cap * 2, _bucket(n_stream, 1))
-        for j, (_, (lo, hi, peg_idx, pegs)) in enumerate(live):
-            total = int(counts[j])
-            log.info("%d matching kmers found.", total)
-            if total == 0:
+        entries = [self._close_table(og) for og in olds]
+        disp = []
+        for og, (table, mp, n_single, _) in zip(olds, entries):
+            log.info("%d unique peg kmers in %s.", n_single, og.id)
+            if table is None:
+                disp.append(None)
                 continue
-            pos = np.asarray(pos_s[j, :total]).astype(np.int64)
-            pair_peg = np.asarray(pay_s[j, :total])
+            cap = min(_bucket(2 * n_single + 4096, 1 << 14),
+                      _bucket(n_stream, 1))
+            rcap = min(_bucket(max(n_single // 8, 1), 1 << 14), cap)
+            disp.append((_probe_rle(
+                table, index.d_lo, index.d_hi, index.d_valid,
+                cap=cap, rcap=rcap, max_probes=mp), cap, rcap))
+
+        for (table, mp, _, peg_info), d in zip(entries, disp):
+            if d is None:
+                continue
+            (starts_b, pegs_b, lens_b, n_runs_d, n_hits_d), cap, rcap = d
+            while True:
+                n_hits = int(n_hits_d)
+                n_runs = int(n_runs_d)
+                if n_hits <= cap and n_runs <= rcap:
+                    break
+                cap = min(max(cap * 2, _bucket(n_hits, 1 << 14)),
+                          _bucket(n_stream, 1))
+                rcap = min(max(rcap * 2, _bucket(max(n_runs, 1), 1 << 14)),
+                           cap)
+                starts_b, pegs_b, lens_b, n_runs_d, n_hits_d = _probe_rle(
+                    table, index.d_lo, index.d_hi, index.d_valid,
+                    cap=cap, rcap=rcap, max_probes=mp)
+            log.info("%d matching kmers found.", n_hits)
+            if n_hits == 0:
+                continue
+            starts = np.asarray(starts_b)[:n_runs].astype(np.int64)
+            lens = np.asarray(lens_b)[:n_runs].astype(np.int64)
+            run_peg = np.asarray(pegs_b)[:n_runs]
+            base = np.repeat(np.cumsum(lens) - lens, lens)
+            pos = np.repeat(starts, lens) + np.arange(n_hits) - base
+            pair_peg = np.repeat(run_peg, lens).astype(np.int32)
             l_contig, l_strand, l_left = index.locate(pos)
             self._scan_and_propose(l_contig, l_strand, l_left, pair_peg,
-                                   pegs, index.contig_ids, proposals)
+                                   peg_info, index.contig_ids, proposals)
 
-    def _project_from(self, old_genome: Genome, index,
+    def _project_from(self, old_genome: Genome, index: ContigKmerIndex,
                       proposals: PegProposalList) -> None:
         k = self.k
         lo, hi, peg_idx, pegs = peg_singleton_kmers(old_genome, k)
         log.info("%d unique peg kmers in %s.", len(lo), old_genome.id)
         if not len(lo):
             return
-        if isinstance(index, StreamWindowIndex):
-            got = self._match_stream(index, lo, hi, peg_idx)
-        else:
-            got = self._match_host_index(index, lo, hi, peg_idx)
+        got = self._match_host_index(index, lo, hi, peg_idx)
         if got is None:
             return
         l_contig, l_strand, l_left, pair_peg = got
         log.info("%d matching kmers found.", len(l_left))
         self._scan_and_propose(l_contig, l_strand, l_left, pair_peg,
                                pegs, index.contig_ids, proposals)
-
-    def _match_stream(self, index: StreamWindowIndex, lo, hi, peg_idx):
-        """Device probe of the window stream against the singleton table
-        (built on device inside the same jitted step)."""
-        n = len(lo)
-        n_pad = _bucket(n, 4096)
-        s_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
-        s_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
-        s_peg = np.zeros(n_pad, np.uint32)
-        s_lo[:n] = lo
-        s_hi[:n] = hi
-        s_peg[:n] = peg_idx
-        n_buckets = device_table_buckets(n_pad)
-        n_stream = index.d_lo.shape[0]
-        cap = min(_bucket(2 * n + 4096, 1 << 14), _bucket(n_stream, 1))
-        host_table = None
-        while True:
-            if host_table is None:
-                pos_buf, peg_buf, n_hits, bad = _probe_compact(
-                    jnp.asarray(s_lo), jnp.asarray(s_hi),
-                    jnp.asarray(s_peg), index.d_lo, index.d_hi,
-                    index.d_valid, n_buckets=n_buckets, cap=cap,
-                    max_probes=MAX_DEVICE_PROBES)
-                if bool(bad):
-                    log.warning("device singleton-table build overflowed "
-                                "(%d keys); using the host build", n)
-                    host_table = build_table(lo, hi,
-                                             peg_idx.astype(np.uint32))
-                    continue
-            else:
-                table, mp = host_table
-                pos_buf, peg_buf, n_hits = _probe_compact_pre(
-                    jnp.asarray(table), index.d_lo, index.d_hi,
-                    index.d_valid, cap=cap, max_probes=mp)
-            total = int(n_hits)
-            if total <= cap or cap >= n_stream:
-                break
-            cap = min(cap * 2, _bucket(n_stream, 1))
-        if total == 0:
-            return None
-        pos = np.asarray(pos_buf[:total]).astype(np.int64)
-        pair_peg = np.asarray(peg_buf[:total])
-        l_contig, l_strand, l_left = index.locate(pos)
-        return l_contig, l_strand, l_left, pair_peg
 
     def _match_host_index(self, index: ContigKmerIndex, lo, hi, peg_idx):
         """Probe singletons into the host contig index + CSR expansion."""

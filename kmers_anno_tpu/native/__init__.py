@@ -105,6 +105,13 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, u8p, i64p, i64, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, i64p]
         lib.kan_proj_free.argtypes = [ctypes.c_void_p]
+        lib.kan_java_new.restype = ctypes.c_void_p
+        lib.kan_java_new.argtypes = [i64]
+        lib.kan_java_add.argtypes = [ctypes.c_void_p, c_char_p, i64, i32,
+                                     i32p]
+        lib.kan_java_apply.argtypes = [ctypes.c_void_p, c_char_p, i64p,
+                                       i64, i32, i32, i32p]
+        lib.kan_java_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -351,6 +358,47 @@ class ProjectionBaseline:
     def close(self):
         if self._h:
             self._lib.kan_proj_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class JavaDataflowBaseline:
+    """String-keyed hash-map apply walk (kan_java_*): the stand-in that
+    reproduces the reference's actual Java dataflow — string kmer keys,
+    per-lookup substring + character hashing (ApplyKmerProcessor.java:
+    101-110, 122-145).  Still conservative vs a real JVM (C++ SSO avoids
+    Java's per-substring allocation)."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, kmers: list[str], roles: np.ndarray, k: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.kan_java_new(len(kmers))
+        if not self._h:
+            raise MemoryError("kan_java_new failed")
+        concat = "".join(kmers).encode("ascii")
+        lib.kan_java_add(self._h, concat, len(kmers), k,
+                         np.ascontiguousarray(roles, np.int32))
+
+    def apply(self, proteins: list[str], k: int,
+              min_hits: int) -> np.ndarray:
+        concat, offs = _concat_offsets(proteins)
+        out = np.empty(len(proteins), np.int32)
+        self._lib.kan_java_apply(self._h, concat, offs, len(proteins),
+                                 k, min_hits, out)
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.kan_java_free(self._h)
             self._h = None
 
     def __del__(self):

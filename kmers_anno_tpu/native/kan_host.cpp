@@ -692,3 +692,70 @@ void kan_proj_match(void* hv, const uint8_t* prots, const int64_t* offs,
 void kan_proj_free(void* hv) { delete static_cast<KanProj*>(hv); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Java-dataflow apply baseline (string-keyed HashMap walk)
+// ---------------------------------------------------------------------------
+//
+// kan_apply_baseline above probes packed integer keys — faster than any
+// JVM HashMap<String,String> walk, so the device multiple it yields is a
+// floor.  This variant reproduces the reference's actual dataflow
+// (ApplyKmerProcessor.java:101-110, 122-145): the kmer database is a
+// string-keyed hash map and every lookup materializes the kmer substring
+// and hashes its characters, exactly what `map.get(protein.substring(i,
+// i+K))` does on the JVM.  C++ std::string SSO still makes this an
+// optimistic stand-in for Java (no per-substring heap allocation), so
+// the resulting multiple remains conservative.
+
+namespace {
+
+struct KanJavaMap {
+  std::unordered_map<std::string, int32_t> map;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* kan_java_new(int64_t n_hint) {
+  auto* h = new (std::nothrow) KanJavaMap();
+  if (h) h->map.reserve(static_cast<size_t>(n_hint));
+  return h;
+}
+
+// concat: kmer texts back to back, each k chars; roles per kmer
+void kan_java_add(void* hv, const char* concat, int64_t n, int32_t k,
+                  const int32_t* roles) {
+  auto* h = static_cast<KanJavaMap*>(hv);
+  for (int64_t i = 0; i < n; ++i)
+    h->map.emplace(std::string(concat + i * k, static_cast<size_t>(k)),
+                   roles[i]);
+}
+
+// prots: protein texts back to back; offs (n_prot+1)
+void kan_java_apply(void* hv, const char* prots, const int64_t* offs,
+                    int64_t n_prot, int32_t k, int32_t min_hits,
+                    int32_t* out_roles) {
+  auto* h = static_cast<KanJavaMap*>(hv);
+  std::string kmer;
+  for (int64_t p = 0; p < n_prot; ++p) {
+    const char* s = prots + offs[p];
+    const int64_t plen = offs[p + 1] - offs[p];
+    int32_t role = -1, count = 0;
+    bool bad = false;
+    for (int64_t i = 0; i + k <= plen && !bad; ++i) {
+      kmer.assign(s + i, static_cast<size_t>(k));   // the substring
+      auto it = h->map.find(kmer);                  // hash chars + probe
+      if (it != h->map.end()) {
+        if (role < 0) { role = it->second; count = 1; }
+        else if (it->second == role) ++count;
+        else bad = true;
+      }
+    }
+    out_roles[p] = (!bad && role >= 0 && count >= min_hits) ? role : -1;
+  }
+}
+
+void kan_java_free(void* hv) { delete static_cast<KanJavaMap*>(hv); }
+
+}  // extern "C"

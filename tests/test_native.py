@@ -73,3 +73,43 @@ def test_fasta_crlf_and_missing(tmp_path):
     assert native.read_fasta(str(p)) == [("a", "c1", "MKTAYI"), ("b", "", "QR")]
     with pytest.raises(FileNotFoundError):
         native.read_fasta(str(tmp_path / "nope.fa"))
+
+
+def test_java_dataflow_baseline_matches_dict_loop():
+    """kan_java_* (string-keyed map walk) must reproduce the reference's
+    unanimity vote exactly (ApplyKmerProcessor.java:122-147)."""
+    import numpy as np
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    k, n_kmers = 8, 4000
+    alpha = "ACDEFGHIKLMNPQRSTVWY"
+    kmers = list({"".join(alpha[c] for c in rng.integers(0, 20, k))
+                  for _ in range(n_kmers)})
+    roles = rng.integers(0, 50, len(kmers)).astype(np.int32)
+    db = dict(zip(kmers, (int(r) for r in roles)))
+    jb = native.JavaDataflowBaseline(kmers, roles, k)
+    prots = []
+    for _ in range(300):
+        p = "".join(alpha[c] for c in rng.integers(0, 20, 60))
+        which = rng.integers(0, len(kmers), 3)
+        # plant some db kmers to force hits/conflicts
+        for j, w in enumerate(which):
+            p = p[: 10 + j * 15] + kmers[w] + p[10 + j * 15 + k:]
+        prots.append(p)
+    got = jb.apply(prots, k, 2)
+    jb.close()
+    for prot, r in zip(prots, got):
+        role, count, bad = None, 0, False
+        for i in range(len(prot) - k + 1):
+            v = db.get(prot[i: i + k])
+            if v is not None:
+                if role is None:
+                    role, count = v, 1
+                elif v == role:
+                    count += 1
+                else:
+                    bad = True
+                    break
+        want = role if (not bad and role is not None and count >= 2) else -1
+        assert r == want
