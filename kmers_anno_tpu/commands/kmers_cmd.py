@@ -128,22 +128,33 @@ class BatchKmerProcessor(KmerProcessorBase):
         self.require_file(self.in_file, "Input file")
 
     def run_command(self) -> None:
+        from ..utils.prefetch import Prefetcher
+
         start = time.time()
         base_dir = os.path.dirname(os.path.abspath(self.in_file))
         log.info("Reading GTO names from %s in directory %s.",
                  self.in_file, base_dir)
-        count = 0
         with TabbedLineReader(self.in_file, 2) as reader:
-            for line in reader:
-                in_path = os.path.join(base_dir, line.get(0))
-                out_path = os.path.join(base_dir, line.get(1))
-                log.info("Reading genome from %s.", in_path)
-                genome = Genome.load(in_path)
-                genome.de_annotate()
-                self.annotate(genome)
-                log.info("Writing genome to %s.", out_path)
-                genome.save(out_path)
-                count += 1
+            jobs = [(os.path.join(base_dir, line.get(0)),
+                     os.path.join(base_dir, line.get(1)))
+                    for line in reader]
+
+        def load(job):
+            in_path, out_path = job
+            log.info("Reading genome from %s.", in_path)
+            genome = Genome.load(in_path)
+            genome.de_annotate()
+            return genome, out_path
+
+        # prefetch overlaps the next genome's GTO parse with the current
+        # genome's annotation (BatchKmerProcessor.java:59-77 is strictly
+        # sequential); results come back in input order
+        count = 0
+        for genome, out_path in Prefetcher(jobs, load):
+            self.annotate(genome)
+            log.info("Writing genome to %s.", out_path)
+            genome.save(out_path)
+            count += 1
         if count:
             log.info("Processing complete.  %d genomes annotated, "
                      "%s seconds / genome.", count,

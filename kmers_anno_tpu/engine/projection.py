@@ -44,6 +44,8 @@ from ..ops.hashtable import (MAX_DEVICE_PROBES, build_table,
                              build_table_device, device_table_buckets,
                              probe_table)
 from ..ops.kmers import pack_kmer_windows
+from ..ops.widetable import (build_wide_table, build_wide_table_device,
+                             probe_wide, wide_rows_for)
 from .apply_engine import _bucket
 from .proposals import PegProposalList
 
@@ -196,11 +198,54 @@ def _build_singleton_table(s_lo, s_hi, s_peg, n_buckets: int):
     return build_table_device(s_lo, s_hi, s_peg, n_buckets)
 
 
-@partial(jax.jit, static_argnames=("cap", "rcap", "max_probes"))
-def _probe_rle(table, d_lo, d_hi, d_valid, *,
-               cap: int, rcap: int, max_probes: int):
+@partial(jax.jit, static_argnames=("n_rows",))
+def _build_singleton_wide(s_lo, s_hi, s_peg, n_rows: int):
+    """Device wide-bucket build (salt 0; bad flag on any walk)."""
+    return build_wide_table_device(s_lo, s_hi, s_peg, n_rows)
+
+
+_PROBE_CHUNK = 1 << 19     # windows per probe step: the gathered row
+                           # buffer is the memory hot spot (72 words per
+                           # window); chunking keeps it at ~150 MB even
+                           # when several genome bodies overlap in one
+                           # XLA program (10 unchunked bodies OOM'd HBM)
+
+
+def _chunked_pay(table, d_lo, d_hi, d_valid, max_probes: int, salt):
+    """Probe the whole stream in _PROBE_CHUNK slices (jit-composable)."""
+
+    def probe(cl, ch, cv):
+        if salt is None:                     # 8-slot bucketed layout
+            return probe_table(table, cl.astype(jnp.uint32),
+                               ch.astype(jnp.uint32), cv, max_probes)
+        return probe_wide(table, cl.astype(jnp.uint32),
+                          ch.astype(jnp.uint32), cv,
+                          jnp.uint32(salt), max_probes=max_probes)
+
+    n = d_lo.shape[0]
+    if n <= _PROBE_CHUNK:
+        return probe(d_lo, d_hi, d_valid)
+    pad = -n % _PROBE_CHUNK
+    lo_p = jnp.concatenate([d_lo, jnp.zeros(pad, d_lo.dtype)])
+    hi_p = jnp.concatenate([d_hi, jnp.zeros(pad, d_hi.dtype)])
+    v_p = jnp.concatenate([d_valid, jnp.zeros(pad, bool)])
+
+    def step(i, out):
+        s = i * _PROBE_CHUNK
+        pv = probe(jax.lax.dynamic_slice(lo_p, (s,), (_PROBE_CHUNK,)),
+                   jax.lax.dynamic_slice(hi_p, (s,), (_PROBE_CHUNK,)),
+                   jax.lax.dynamic_slice(v_p, (s,), (_PROBE_CHUNK,)))
+        return jax.lax.dynamic_update_slice(out, pv, (s,))
+
+    out = jax.lax.fori_loop(0, (n + pad) // _PROBE_CHUNK, step,
+                            jnp.full(n + pad, -1, jnp.int32))
+    return out[:n]
+
+
+def _rle_body(table, d_lo, d_hi, d_valid, cap: int, rcap: int,
+              max_probes: int, salt=None):
     """Probe the window stream against a singleton table and return the
-    hits RUN-LENGTH ENCODED.
+    hits RUN-LENGTH ENCODED (jit-composable body).
 
     Matched windows are overwhelmingly CONSECUTIVE stream positions with
     the same peg (a projected gene body matches at every window until a
@@ -213,8 +258,7 @@ def _probe_rle(table, d_lo, d_hi, d_valid, *,
     Results are ONLY valid when n_hits <= cap and n_runs <= rcap —
     callers must retry with bigger caps otherwise.
     """
-    pay = probe_table(table, d_lo.astype(jnp.uint32),
-                      d_hi.astype(jnp.uint32), d_valid, max_probes)
+    pay = _chunked_pay(table, d_lo, d_hi, d_valid, max_probes, salt)
     hit = pay >= 0
     n_hits = jnp.sum(hit.astype(jnp.int32))
     miss = jnp.where(hit, jnp.int8(0), jnp.int8(1))
@@ -237,6 +281,32 @@ def _probe_rle(table, d_lo, d_hi, d_valid, *,
     _, bidx = jax.lax.sort((nbrk, idx), num_keys=1)
     return (ps[bidx][:rcap], gs[bidx][:rcap], lens[:rcap],
             n_runs, n_hits)
+
+
+@partial(jax.jit, static_argnames=("cap", "rcap", "max_probes", "salt"))
+def _probe_rle(table, d_lo, d_hi, d_valid, *,
+               cap: int, rcap: int, max_probes: int, salt=None):
+    """One-genome RLE probe (see _rle_body)."""
+    return _rle_body(table, d_lo, d_hi, d_valid, cap, rcap, max_probes,
+                     salt)
+
+
+@partial(jax.jit, static_argnames=("cap", "rcap", "meta"))
+def _probe_rle_multi(tables, d_lo, d_hi, d_valid, *,
+                     cap: int, rcap: int, meta: tuple):
+    """ALL close genomes in one device call against their (cached,
+    possibly differently-sized) tables; outputs stacked (G, rcap).
+
+    meta: per-genome static (max_probes, salt-or-None) — salt present
+    means the table uses the wide-bucket single-gather layout.
+
+    One dispatch + one result set for the whole close-genome loop: on a
+    tunneled device each eager op / pull costs ~0.15-0.6 s of latency
+    regardless of size, so per-genome calls would pay ~10× that.
+    """
+    outs = [_rle_body(t, d_lo, d_hi, d_valid, cap, rcap, mp, salt)
+            for t, (mp, salt) in zip(tables, meta)]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(5))
 
 
 @dataclass
@@ -545,7 +615,7 @@ class ProjectionAnnotator:
                     for f in pegs]
         n = len(lo)
         if n == 0:
-            got = (None, 0, 0, peg_info)
+            got = (None, 0, None, 0, peg_info)
         else:
             n_pad = _bucket(n, 4096)
             s_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
@@ -554,17 +624,34 @@ class ProjectionAnnotator:
             s_lo[:n] = lo
             s_hi[:n] = hi
             s_peg[:n] = peg_idx
-            table, bad = _build_singleton_table(
-                jnp.asarray(s_lo), jnp.asarray(s_hi), jnp.asarray(s_peg),
-                device_table_buckets(n_pad))
-            if bool(bad):
-                # astronomically rare: fall back to the host build
-                log.warning("device singleton-table build overflowed "
-                            "(%d keys); using the host build", n)
-                htable, mp = build_table(lo, hi, peg_idx.astype(np.uint32))
-                got = (jnp.asarray(htable), mp, n, peg_info)
+            d_args = (jnp.asarray(s_lo), jnp.asarray(s_hi),
+                      jnp.asarray(s_peg))
+            n_rows = wide_rows_for(n_pad)
+            if n_rows is not None:
+                # wide-bucket layout: rows stay in the fast-gather zone
+                # and every stream lookup is ONE row gather
+                table, bad = _build_singleton_wide(*d_args, n_rows)
+                if bool(bad):
+                    # one-in-hundreds salt failure: host salt-retry build
+                    log.info("device wide build of %d keys overflowed; "
+                             "host salt-retry build", n)
+                    htab, hsalt, hmp = build_wide_table(
+                        lo, hi, peg_idx.astype(np.uint32))
+                    got = (jnp.asarray(htab), hmp, hsalt, n, peg_info)
+                else:
+                    got = (table, 1, 0, n, peg_info)
             else:
-                got = (table, MAX_DEVICE_PROBES, n, peg_info)
+                # huge singleton set: 8-slot bucketed device build
+                table, bad = _build_singleton_table(
+                    *d_args, device_table_buckets(n_pad))
+                if bool(bad):
+                    log.warning("device singleton-table build overflowed "
+                                "(%d keys); using the host build", n)
+                    htable, mp = build_table(lo, hi,
+                                             peg_idx.astype(np.uint32))
+                    got = (jnp.asarray(htable), mp, None, n, peg_info)
+                else:
+                    got = (table, MAX_DEVICE_PROBES, None, n, peg_info)
         self._table_cache[key] = got
         total = sum(e[0].nbytes for e in self._table_cache.values()
                     if e[0] is not None)
@@ -576,48 +663,49 @@ class ProjectionAnnotator:
 
     def _project_all_stream(self, olds: list, index: StreamWindowIndex,
                             proposals: PegProposalList) -> None:
-        """Project every close genome: dispatch ALL probe steps first
-        (the device pipelines them), then pull RLE-encoded hits and
-        scan/propose per genome in order -- proposal insertion order
-        matches the sequential reference loop (KmerProcessor.java:
-        183-270) exactly."""
+        """Project every close genome through ONE multi-table device call
+        (_probe_rle_multi) against the cached singleton tables, then
+        expand RLE hits and scan/propose per genome in order -- proposal
+        insertion order matches the sequential reference loop
+        (KmerProcessor.java:183-270) exactly."""
         n_stream = index.d_lo.shape[0]
         entries = [self._close_table(og) for og in olds]
-        disp = []
-        for og, (table, mp, n_single, _) in zip(olds, entries):
-            log.info("%d unique peg kmers in %s.", n_single, og.id)
-            if table is None:
-                disp.append(None)
-                continue
-            cap = min(_bucket(2 * n_single + 4096, 1 << 14),
+        for og, entry in zip(olds, entries):
+            log.info("%d unique peg kmers in %s.", entry[3], og.id)
+        live = [e for e in entries if e[0] is not None]
+        if not live:
+            return
+        max_single = max(e[3] for e in live)
+        cap = min(_bucket(2 * max_single + 4096, 1 << 14),
+                  _bucket(n_stream, 1))
+        rcap = min(_bucket(max(max_single // 8, 1), 1 << 14), cap)
+        tables = tuple(e[0] for e in live)
+        meta = tuple((e[1], e[2]) for e in live)
+        while True:
+            starts_b, pegs_b, lens_b, n_runs_d, n_hits_d = _probe_rle_multi(
+                tables, index.d_lo, index.d_hi, index.d_valid,
+                cap=cap, rcap=rcap, meta=meta)
+            n_hits_a = np.asarray(n_hits_d)
+            n_runs_a = np.asarray(n_runs_d)
+            if int(n_hits_a.max()) <= cap and int(n_runs_a.max()) <= rcap:
+                break
+            cap = min(max(cap * 2, _bucket(int(n_hits_a.max()), 1 << 14)),
                       _bucket(n_stream, 1))
-            rcap = min(_bucket(max(n_single // 8, 1), 1 << 14), cap)
-            disp.append((_probe_rle(
-                table, index.d_lo, index.d_hi, index.d_valid,
-                cap=cap, rcap=rcap, max_probes=mp), cap, rcap))
-
-        for (table, mp, _, peg_info), d in zip(entries, disp):
-            if d is None:
-                continue
-            (starts_b, pegs_b, lens_b, n_runs_d, n_hits_d), cap, rcap = d
-            while True:
-                n_hits = int(n_hits_d)
-                n_runs = int(n_runs_d)
-                if n_hits <= cap and n_runs <= rcap:
-                    break
-                cap = min(max(cap * 2, _bucket(n_hits, 1 << 14)),
-                          _bucket(n_stream, 1))
-                rcap = min(max(rcap * 2, _bucket(max(n_runs, 1), 1 << 14)),
-                           cap)
-                starts_b, pegs_b, lens_b, n_runs_d, n_hits_d = _probe_rle(
-                    table, index.d_lo, index.d_hi, index.d_valid,
-                    cap=cap, rcap=rcap, max_probes=mp)
+            rcap = min(max(rcap * 2,
+                           _bucket(max(int(n_runs_a.max()), 1), 1 << 14)),
+                       cap)
+        starts_all = np.asarray(starts_b)          # (G, rcap): ONE pull
+        pegs_all = np.asarray(pegs_b)
+        lens_all = np.asarray(lens_b)
+        for j, (_, _, _, _, peg_info) in enumerate(live):
+            n_hits = int(n_hits_a[j])
+            n_runs = int(n_runs_a[j])
             log.info("%d matching kmers found.", n_hits)
             if n_hits == 0:
                 continue
-            starts = np.asarray(starts_b)[:n_runs].astype(np.int64)
-            lens = np.asarray(lens_b)[:n_runs].astype(np.int64)
-            run_peg = np.asarray(pegs_b)[:n_runs]
+            starts = starts_all[j, :n_runs].astype(np.int64)
+            lens = lens_all[j, :n_runs].astype(np.int64)
+            run_peg = pegs_all[j, :n_runs]
             base = np.repeat(np.cumsum(lens) - lens, lens)
             pos = np.repeat(starts, lens) + np.arange(n_hits) - base
             pair_peg = np.repeat(run_peg, lens).astype(np.int32)

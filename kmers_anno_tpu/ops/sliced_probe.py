@@ -121,11 +121,15 @@ def _mxu_gather(slab_bytes, lb, s_rows: int):
 
     The XLA row gather issues one descriptor per row (~166M rows/s,
     latency-bound); a (Q, R) one-hot × (R, 4·W) byte-plane matmul moves
-    the same rows through the systolic array at MXU rates instead —
-    measured ~2× end-to-end on the 10M-entry sliced probe.  Exactness:
-    the one-hot is exact in bf16, each byte plane value ≤ 255 is exact
-    in bf16, and each output element has exactly one nonzero product
-    term, so the f32 accumulation is exact.
+    the same rows through the systolic array at MXU rates instead.
+    Measured on v5e (r4, host-synced): end-to-end NEUTRAL vs the slice
+    gather (72.9 vs 72.8 M lookups/s on the 10M-entry shape) — the
+    sliced probe is bounded by its two 4M-element sorts and the
+    per-slice loop overhead, not by the row gather, so the MXU path is
+    kept as an option (``mxu=``) but buys nothing until the sort cost
+    is attacked.  Exactness: the one-hot is exact in bf16, each byte
+    plane value ≤ 255 is exact in bf16, and each output element has
+    exactly one nonzero product term, so the f32 accumulation is exact.
 
     slab_bytes: (R, 4·W) bf16 byte planes (plane-major: byte b of word
                 w sits at column b·W + w)
@@ -146,7 +150,7 @@ def _mxu_gather(slab_bytes, lb, s_rows: int):
 
 @partial(jax.jit, static_argnames=("max_probes", "mxu"))
 def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
-                       mxu: bool = True):
+                       mxu: bool = False):
     """Sort-and-stream probe of a windowed table (the big-table hot path).
 
     wtable: (B, 24·max_probes) uint32 from ``windowed_table`` (device-
@@ -154,7 +158,8 @@ def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
     key_lo/key_hi: (N,) uint32 query keys
     valid:  (N,) bool — invalid queries return -1
     mxu:    gather slice rows through the one-hot matmul (_mxu_gather)
-            instead of the XLA row gather (~2× on 10M-entry tables)
+            instead of the XLA row gather (measured neutral — see
+            _mxu_gather; the probe is sort-bound)
     returns (N,) int32 — stored payload, or -1 on miss/invalid
     """
     n = key_lo.shape[0]

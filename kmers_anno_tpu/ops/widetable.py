@@ -150,6 +150,52 @@ def build_wide_table(key_lo, key_hi, values, n_rows: int | None = None,
     return table, salt, max_probes
 
 
+def build_wide_table_device(key_lo, key_hi, values, n_rows: int,
+                            salt: int = 0):
+    """Jit-composable DEVICE build of the wide-bucket table (one salt).
+
+    Same greedy sorted placement as build_wide_table, as sort +
+    associative max-scan + scatter.  Tries only the given salt and
+    requires an overflow-free placement (max_probes == 1): ``bad`` is
+    True when any real key would walk, and callers then fall back to
+    the salt-retrying host build.  Padding entries use EMPTY keys.
+
+    The projection engine builds one such table per close genome from
+    its singleton kmers: at TARGET_MU ≈ 8 the rows stay inside the
+    fast-gather zone (≤ MAX_WIDE_ROWS), so every stream-window lookup
+    is ONE row gather — the 8-slot device build at load 1/8 puts ~1M
+    keys into 2^20 buckets (100 MB), deep in the slow-gather zone, and
+    measures ~5× slower end to end.
+    """
+    n = key_lo.shape[0]
+    mask = jnp.uint32(n_rows - 1)
+    real = key_lo != EMPTY
+    home = jnp.where(
+        real,
+        (mix_kmer_salted(key_lo, key_hi, jnp.uint32(salt), jnp)
+         & mask).astype(jnp.int32),
+        jnp.int32(n_rows))
+    order = jnp.argsort(home)
+    hb = home[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    pos = ar + jax.lax.associative_scan(jnp.maximum, hb * SLOTS - ar)
+    ok = pos < n_rows * SLOTS
+    walk = jnp.where(ok, pos // SLOTS - hb, 1)
+    bad = jnp.any(real[order] & (~ok | (walk >= 1)))
+    drop = jnp.where(ok & (walk < 1), pos, n_rows * SLOTS)
+    cap = n_rows * SLOTS + 1
+    flat_lo = jnp.full(cap, EMPTY, jnp.uint32
+                       ).at[drop].set(key_lo[order], mode="drop")[:-1]
+    flat_hi = jnp.full(cap, EMPTY, jnp.uint32
+                       ).at[drop].set(key_hi[order], mode="drop")[:-1]
+    flat_val = jnp.zeros(cap, jnp.uint32
+                         ).at[drop].set(values[order], mode="drop")[:-1]
+    table = jnp.concatenate([flat_lo.reshape(n_rows, SLOTS),
+                             flat_hi.reshape(n_rows, SLOTS),
+                             flat_val.reshape(n_rows, SLOTS)], axis=1)
+    return table, bad
+
+
 @partial(jax.jit, static_argnames=("max_probes",))
 def probe_wide(table, key_lo, key_hi, valid, salt, max_probes: int = 1):
     """Single-gather lookup of a key batch (the hot path).
