@@ -555,6 +555,15 @@ def bench_mesh_scaling():
 
 
 def main():
+    import threading
+
+    # the mesh harness is a CPU-only subprocess: run it concurrently
+    # with the TPU sections (it does not touch the chip)
+    mesh_out = {}
+    mesh_thread = threading.Thread(
+        target=lambda: mesh_out.update(r=bench_mesh_scaling()))
+    mesh_thread.start()
+
     rng = np.random.default_rng(seed=7)
     protos, key_lo, key_hi, roles = make_workload(rng)
     dev = bench_device(rng, protos, key_lo, key_hi, roles)
@@ -566,7 +575,8 @@ def main():
     dna = bench_dna(rng)
     build = bench_build(rng)
     proj = bench_projection(rng)
-    mesh = bench_mesh_scaling()
+    mesh_thread.join(timeout=900)
+    mesh = mesh_out.get("r", {"error": "mesh harness did not finish"})
 
     vs_cpp = (dev["proteins_per_s"] / cpp["proteins_per_s"]) if cpp else None
     vs_py = dev["proteins_per_s"] / py["proteins_per_s"]
