@@ -759,8 +759,19 @@ class ProjectionAnnotator:
 
         # frame of each location: '+' → P(left%3), '-' → M(right%3)
         frame = np.where(l_strand == 0, 3 + l_left % 3, l_right % 3)
-        # group by (frame, peg): matches FramedLocationLists bucketing
-        order = np.lexsort((l_left, l_contig, pair_peg, frame))
+        # group by (frame, peg): matches FramedLocationLists bucketing.
+        # A single packed-key argsort is ~2-3× faster than the 4-key
+        # lexsort; fall back when the packed key would not fit 63 bits.
+        bits_peg = max(int(pair_peg.max(initial=0)), 1).bit_length()
+        bits_con = max(int(l_contig.max(initial=0)), 1).bit_length()
+        bits_left = max(int(l_left.max(initial=0)), 1).bit_length()
+        if 3 + bits_peg + bits_con + bits_left <= 63:
+            key = (((frame.astype(np.int64) << bits_peg
+                     | pair_peg) << bits_con | l_contig)
+                   << bits_left) | l_left
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((l_left, l_contig, pair_peg, frame))
         g_frame = frame[order]
         g_peg = pair_peg[order]
         boundary = np.flatnonzero(
@@ -789,9 +800,9 @@ class ProjectionAnnotator:
 
         n_groups = len(group_starts)
         sizes = group_ends - group_starts
-        peg_lens = np.fromiter(
-            (pegs[g_peg[gs]].protein_length * 3 for gs in group_starts),
-            np.int64, n_groups)
+        plen3 = np.fromiter((p.protein_length for p in pegs),
+                            np.int64, len(pegs)) * 3
+        peg_lens = plen3[g_peg[group_starts]]
         max_lens = (peg_lens * self.max_fuzz + 1).astype(np.int64)
         min_lens = (peg_lens * self.min_fuzz).astype(np.int64)
         min_kmers = (peg_lens * (self.min_strength / 3)).astype(np.int64)
