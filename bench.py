@@ -561,7 +561,8 @@ def main():
     # with the TPU sections (it does not touch the chip)
     mesh_out = {}
     mesh_thread = threading.Thread(
-        target=lambda: mesh_out.update(r=bench_mesh_scaling()))
+        target=lambda: mesh_out.update(r=bench_mesh_scaling()),
+        daemon=True)  # a wedged harness must not block process exit
     mesh_thread.start()
 
     rng = np.random.default_rng(seed=7)

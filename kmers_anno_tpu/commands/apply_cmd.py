@@ -61,6 +61,11 @@ class ApplyKmerProcessor(BaseProcessor):
             "--min-weight", type=float, default=None, metavar="5.0",
             help="minimum winning tally to call a role in --weighted "
                  "mode (default: the -m value)")
+        parser.add_argument(
+            "--dropLast", action="store_true", dest="drop_last",
+            help="drop the final kmer window of every protein (use if "
+                 "the reference jar's ProteinKmers drops it like the "
+                 "in-repo extractors do — see engine/protein_kmers.py)")
         parser.add_argument("kmerDbFile", metavar="kmerdb.tbl",
                             help="discriminating kmer database")
         parser.add_argument("goodRoleFile", metavar="roles.in.use",
@@ -69,6 +74,9 @@ class ApplyKmerProcessor(BaseProcessor):
                             help="input genome directory")
 
     def validate_parms(self) -> None:
+        if self.drop_last:
+            from ..engine.protein_kmers import set_drop_last
+            set_drop_last(True)
         self.require_dir(self.inDir, "Input directory")
         self.require_file(self.kmerDbFile, "Kmer database file")
         self.require_file(self.goodRoleFile, "Roles-to-use file")

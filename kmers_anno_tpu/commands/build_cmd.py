@@ -37,6 +37,11 @@ class BuildKmerProcessor(BaseProcessor):
         parser.add_argument(
             "-o", "--output", metavar="kmerdb.tbl", default=None,
             help="output file for the kmer database (default: stdout)")
+        parser.add_argument(
+            "--dropLast", action="store_true", dest="drop_last",
+            help="drop the final kmer window of every protein (use if "
+                 "the reference jar's ProteinKmers drops it like the "
+                 "in-repo extractors do — see engine/protein_kmers.py)")
         parser.add_argument("roleMapFile", metavar="roles.in.subsystems",
                             help="role definition file")
         parser.add_argument("roleIdFile", metavar="roles.to.use",
@@ -45,6 +50,9 @@ class BuildKmerProcessor(BaseProcessor):
                             help="input genome directory")
 
     def validate_parms(self) -> None:
+        if self.drop_last:
+            from ..engine.protein_kmers import set_drop_last
+            set_drop_last(True)
         self.alphabet = "dna" if self.dna else "prot"
         if self.kmer is None:
             self.kmer = 15 if self.dna else 8

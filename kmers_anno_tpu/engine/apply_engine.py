@@ -44,6 +44,7 @@ from ..ops.sliced_probe import probe_table_sliced
 from ..ops.vote import (pick_weighted_vote, split_packed_payload,
                         unanimous_vote, weighted_vote_rows)
 from ..ops.widetable import probe_wide
+from .protein_kmers import apply_drop_last
 from .signature import SignatureTable
 
 log = logging.getLogger(__name__)
@@ -126,6 +127,7 @@ class FlatBatch:
         got = native.flat_batch(proteins, k, width, self.n_seqs)
         if got is not None:  # C++ data loader (kan_host.cpp)
             self.codes, self.seg_ids, self.valid = got
+            self.valid = apply_drop_last(self.valid)
             return
         codes = np.full(width, PROT_PAD, np.uint8)
         seg_ids = np.full(width, self.n_seqs, np.int32)
@@ -140,7 +142,7 @@ class FlatBatch:
             pos += ln
         self.codes = codes
         self.seg_ids = seg_ids
-        self.valid = valid
+        self.valid = apply_drop_last(valid)
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +207,7 @@ class RowBatch:
         got = native.row_batch(proteins, k, rows, width)
         if got is not None:            # C++ data loader (kan_host.cpp)
             self.codes, self.valid = got
+            self.valid = apply_drop_last(self.valid)
             return
         codes = np.full((rows, width), PROT_PAD, np.uint8)
         valid = np.zeros((rows, width), bool)
@@ -214,7 +217,7 @@ class RowBatch:
             if ln >= k:
                 valid[i, : ln - k + 1] = True
         self.codes = codes
-        self.valid = valid
+        self.valid = apply_drop_last(valid)
 
 
 def make_row_batches(proteins: list[str], k: int) -> list[RowBatch]:

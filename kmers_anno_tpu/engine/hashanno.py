@@ -201,6 +201,9 @@ def _distinct_kmers_flat(proteins: list[str], k: int):
             if ln >= k:
                 valid[pos: pos + ln - k + 1] = True
             pos += ln
+    from .protein_kmers import apply_drop_last
+    valid = apply_drop_last(valid)   # GenomeProteinKmers shares the
+    # external-jar window-count risk fence (see protein_kmers.py)
     d_lo, d_hi = _pack(jnp.asarray(codes), k)
     lo = np.asarray(d_lo)[valid]
     hi = np.asarray(d_hi)[valid]

@@ -258,6 +258,11 @@ def _rle_body(table, d_lo, d_hi, d_valid, cap: int, rcap: int,
     Results are ONLY valid when n_hits <= cap and n_runs <= rcap —
     callers must retry with bigger caps otherwise.
     """
+    # an oversized cap must clamp to the true stream length, or ps (a
+    # clamped slice) and idx (arange(cap)) would disagree in shape and
+    # crash the jitted probe at trace time (ADVICE r4)
+    cap = min(cap, int(d_lo.shape[0]))
+    rcap = min(rcap, cap)
     pay = _chunked_pay(table, d_lo, d_hi, d_valid, max_probes, salt)
     hit = pay >= 0
     n_hits = jnp.sum(hit.astype(jnp.int32))
@@ -676,8 +681,10 @@ class ProjectionAnnotator:
         if not live:
             return
         max_single = max(e[3] for e in live)
-        cap = min(_bucket(2 * max_single + 4096, 1 << 14),
-                  _bucket(n_stream, 1))
+        # clamp to the TRUE stream length, not its power-of-two bucket:
+        # n_stream can be 3·2^(m-1)·8192 and a pow2 clamp could exceed
+        # it, tripping the shape guard in _rle_body (ADVICE r4)
+        cap = min(_bucket(2 * max_single + 4096, 1 << 14), n_stream)
         rcap = min(_bucket(max(max_single // 8, 1), 1 << 14), cap)
         tables = tuple(e[0] for e in live)
         meta = tuple((e[1], e[2]) for e in live)
@@ -690,7 +697,7 @@ class ProjectionAnnotator:
             if int(n_hits_a.max()) <= cap and int(n_runs_a.max()) <= rcap:
                 break
             cap = min(max(cap * 2, _bucket(int(n_hits_a.max()), 1 << 14)),
-                      _bucket(n_stream, 1))
+                      n_stream)
             rcap = min(max(rcap * 2,
                            _bucket(max(int(n_runs_a.max()), 1), 1 << 14)),
                        cap)

@@ -614,8 +614,9 @@ def _flat_protein_keys(prots: list[str], k: int
             if ln >= k:
                 valid[pos: pos + ln - k + 1] = True
             pos += ln
+    from .protein_kmers import apply_drop_last
     lo, hi = pack_kmers_np(codes, k)
-    v = valid[: len(lo)]
+    v = apply_drop_last(valid[: len(lo)])
     return lo[v], hi[v], seg[: len(lo)][v]
 
 

@@ -109,7 +109,14 @@ class PatricGenomeSource(GenomeSource):
         if self._id_list is not None:
             return list(self._id_list)
         if self.cache is None:
-            return []
+            # the reference would enumerate PATRIC remotely here
+            # (GtoBuildProcessor.java:100); this deployment is
+            # network-isolated, so a silent [] would make every
+            # downstream command a quiet no-op — fail loudly instead
+            raise RuntimeError(
+                "PATRIC source cannot enumerate genomes remotely in "
+                "this deployment: give it a genome-ID file or a cache "
+                "directory (see README, 'PATRIC / BV-BRC access')")
         return sorted(f[:-4] for f in os.listdir(self.cache)
                       if f.endswith(".gto"))
 
