@@ -314,6 +314,206 @@ def _probe_rle_multi(tables, d_lo, d_hi, d_valid, *,
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(5))
 
 
+# ---------------------------------------------------------------------------
+# fused union-probe + on-device window scan (the r5 fast path)
+# ---------------------------------------------------------------------------
+#
+# The r4 path probed the FULL window stream once per close genome and
+# RLE-compressed each genome's hits for a host-side window scan: 10 big
+# device sorts, a multi-MB pull, ~7 s of host expansion/argsort on ~10M
+# pairs, and a 10-body unrolled jit that took minutes to compile.  The
+# r5 path keeps hot loops 3 AND 4 on device:
+#
+#   1. probe the stream ONCE against the UNION of all close genomes'
+#      singleton kmers and compact the hit positions (one sort);
+#   2. lax.scan over the close genomes (ONE compiled body): probe the
+#      compacted keys against each genome's table, sort hits by the
+#      packed (frame, peg, contig, left) candidate key, run the Q6
+#      window scan with a merge-rank trick (no 64-bit searchsorted
+#      needed), and compact the surviving candidates;
+#   3. pull ONE flat buffer (~2 MB) of per-genome candidates + stats;
+#      the host only extends/filters/dedups proposals (propose_batch).
+#
+# Packed candidate key (uint32 pair) — fixed field widths so the scan
+# body compiles once:  khi = frame(3) | peg(20) | contig_hi(6),
+# klo = contig_lo(4) | left(28).  _close_set validates the widths and
+# falls back to the RLE path when a genome exceeds them.
+
+_LEFT_BITS = 28
+_CONTIG_BITS = 10
+_PEG_BITS = 20
+_LMASK = (1 << _LEFT_BITS) - 1
+_SENTINEL = 0xFFFFFFFF
+
+
+@partial(jax.jit, static_argnames=("k", "ucap", "max_probes"))
+def _union_compact(table, salt, d_lo, d_hi, d_valid,
+                   seg_start, seg_contig, seg_strand, seg_len,
+                   *, k: int, ucap: int, max_probes: int):
+    """Probe the stream against the union table and compact hits.
+
+    returns (lo_c, hi_c — compacted window keys,
+             klo — uint32 contig_lo|left candidate-key half,
+             base — uint32 frame|contig_hi candidate-key half (peg 0),
+             n_union int32 scalar; results valid iff n_union <= ucap)
+    """
+    pay = _chunked_pay(table, d_lo, d_hi, d_valid, max_probes, salt)
+    hit = pay >= 0
+    n_union = jnp.sum(hit.astype(jnp.int32))
+    miss = jnp.where(hit, jnp.int8(0), jnp.int8(1))
+    pos = jnp.arange(pay.shape[0], dtype=jnp.int32)
+    _, pos_s, lo_s, hi_s = jax.lax.sort(
+        (miss, pos, d_lo, d_hi), num_keys=2)
+    pos_c = pos_s[:ucap]
+    lo_c = lo_s[:ucap].astype(jnp.uint32)
+    hi_c = hi_s[:ucap].astype(jnp.uint32)
+    # stream position → (contig, strand, left, frame): the device locate
+    seg = jnp.searchsorted(seg_start, pos_c, side="right").astype(
+        jnp.int32) - 1
+    local = pos_c - seg_start[seg]
+    strand = seg_strand[seg].astype(jnp.int32)
+    length = seg_len[seg]
+    k3 = 3 * k
+    left = jnp.where(strand == 0, local + 1, (length - k3 + 1) - local)
+    right = left + k3 - 1
+    frame = jnp.where(strand == 0, 3 + left % 3, right % 3)
+    contig = seg_contig[seg].astype(jnp.uint32)
+    left_u = left.astype(jnp.uint32)
+    klo = ((contig & 15) << _LEFT_BITS) | left_u
+    base = (frame.astype(jnp.uint32) << (_PEG_BITS + _CONTIG_BITS - 4)
+            ) | (contig >> 4)
+    return lo_c, hi_c, klo, base, n_union
+
+
+@partial(jax.jit, static_argnames=("k", "ucap", "pcap", "max_probes"))
+def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
+                  *, k: int, ucap: int, pcap: int, max_probes: int):
+    """One lax.scan body over all close genomes: probe + Q6 window scan.
+
+    tables: (G, rows, 72) stacked wide singleton tables
+    salts:  (G,) uint32
+    pinfo:  (G, 3, Pmax) int32 — host-precomputed per-peg [maxlen3,
+            minlen3, minkmers] (float64 rounding stays on host so the
+            fuzz thresholds match numpy bit-for-bit)
+    returns ONE flat int32 buffer: G*(pcap*6) candidate fields
+            [contig, strand, left, best_edge, evidence, peg] + G*5 stats
+            [n_hits, n_groups, low_kmer, too_short, n_live] + [n_union]
+            — a single pull on a latency-bound tunnel.
+    """
+    k3 = 3 * k
+    idx = jnp.arange(ucap, dtype=jnp.int32)
+    valid_c = idx < n_union
+    pmax = pinfo.shape[2]
+    pegshift = _CONTIG_BITS - 4
+    gshift = jnp.uint32(pegshift)
+    frameshift = jnp.uint32(_PEG_BITS + pegshift)
+
+    def body(carry, g):
+        table, salt, pi = g
+        pay = probe_wide(table, lo_c, hi_c, valid_c, salt,
+                         max_probes=max_probes)
+        hit = pay >= 0
+        nh = jnp.sum(hit.astype(jnp.int32))
+        peg_u = jnp.where(hit, pay, 0).astype(jnp.uint32)
+        khi = jnp.where(hit, base | (peg_u << gshift),
+                        jnp.uint32(_SENTINEL))
+        khi_s, klo_s = jax.lax.sort((khi, klo), num_keys=2)
+        ok = idx < nh
+        left_s = (klo_s & jnp.uint32(_LMASK)).astype(jnp.int32)
+        contig_s = ((klo_s >> jnp.uint32(_LEFT_BITS))
+                    | ((khi_s & jnp.uint32((1 << pegshift) - 1))
+                       << jnp.uint32(4))).astype(jnp.int32)
+        peg_s = ((khi_s >> gshift)
+                 & jnp.uint32((1 << _PEG_BITS) - 1)).astype(jnp.int32)
+        frame_s = (khi_s >> frameshift).astype(jnp.int32)
+        pegc = jnp.minimum(peg_s, pmax - 1)
+        # groups = (frame, peg); runs = (frame, peg, contig)
+        gkey = khi_s >> gshift
+        rlo = klo_s >> jnp.uint32(_LEFT_BITS)
+        one = jnp.ones(1, bool)
+        gfirst = jnp.concatenate([one, gkey[1:] != gkey[:-1]])
+        rfirst = jnp.concatenate([one, (khi_s[1:] != khi_s[:-1])
+                                  | (rlo[1:] != rlo[:-1])])
+        rid = jnp.cumsum(rfirst.astype(jnp.int32)) - 1
+        gstart = jax.lax.cummax(jnp.where(gfirst, idx, -1))
+        glast = jnp.concatenate([gfirst[1:], one])
+        gend = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(glast, idx + 1, ucap + 1))))
+        size = gend - gstart
+        i_local = idx - gstart
+        maxlen3 = pi[0][pegc]
+        minlen3 = pi[1][pegc]
+        minkm = pi[2][pegc]
+        group_ok = minkm <= size
+        cand = ok & group_ok & (i_local <= size - minkm)
+        # ---- Q6 evidence via a merged-rank pass ----
+        # host reference: ub = searchsorted(run-prefixed rights,
+        # left + maxlen3); here right ≡ left + 3K-1, so the query is the
+        # candidate key with left += delta (never carries past the left
+        # field — _close_set validates) and Q-before-B tie order gives
+        # the strict '<' count without 64-bit keys.
+        delta = jnp.maximum(maxlen3 - (k3 - 1), 0).astype(jnp.uint32)
+        two = 2 * ucap
+        mk_hi = jnp.concatenate([khi_s, khi_s])
+        mk_lo = jnp.concatenate([klo_s + delta, klo_s])
+        tag = jnp.concatenate([jnp.zeros(ucap, jnp.int8),
+                               jnp.ones(ucap, jnp.int8)])
+        src = jnp.concatenate([idx, idx])
+        rid_m2 = jnp.concatenate([rid, rid])
+        mk_hi, mk_lo, tag_m, src_m, rid_m = jax.lax.sort(
+            (mk_hi, mk_lo, tag, src, rid_m2), num_keys=3)
+        isb = tag_m == 1
+        real = mk_hi != jnp.uint32(_SENTINEL)
+        # last-B (left, run) inclusive scan — selection semigroup
+        lb_left = jnp.where(isb, (mk_lo & jnp.uint32(_LMASK))
+                            .astype(jnp.int32), 0)
+        lb_run = jnp.where(isb, rid_m, -1)
+
+        def lastb(a, b):
+            s1, l1, r1 = a
+            s2, l2, r2 = b
+            return (s1 | s2, jnp.where(s2, l2, l1),
+                    jnp.where(s2, r2, r1))
+
+        sc_seen, sc_left, sc_run = jax.lax.associative_scan(
+            lastb, (isb, lb_left, lb_run))
+        p = jnp.arange(two, dtype=jnp.int32)
+        q_rank = jnp.cumsum((~isb).astype(jnp.int32)) - 1
+        ub = p - q_rank                       # #B strictly before this Q
+        ev_m = jnp.maximum(ub - src_m - 1, 0) + 1
+        pegm = jnp.minimum(((mk_hi >> gshift)
+                            & jnp.uint32((1 << _PEG_BITS) - 1))
+                           .astype(jnp.int32), pmax - 1)
+        delta_m = jnp.maximum(pi[0][pegm] - (k3 - 1), 0)
+        left_orig = (mk_lo & jnp.uint32(_LMASK)).astype(jnp.int32) - delta_m
+        bestleft = jnp.where(sc_seen & (sc_run == rid_m), sc_left, -1)
+        be_m = jnp.maximum(bestleft, left_orig) + (k3 - 1)
+        tgt = jnp.where((~isb) & real, src_m, ucap)
+        evidence = jnp.zeros(ucap + 1, jnp.int32).at[tgt].set(
+            ev_m, mode="drop")[:ucap]
+        best_edge = jnp.zeros(ucap + 1, jnp.int32).at[tgt].set(
+            be_m, mode="drop")[:ucap]
+        short = cand & (best_edge < left_s + minlen3)
+        live = cand & ~short
+        n_live = jnp.sum(live.astype(jnp.int32))
+        # compact live candidates (stable by construction: unique idx key)
+        _, lidx = jax.lax.sort(
+            (jnp.where(live, jnp.int8(0), jnp.int8(1)), idx), num_keys=2)
+        li = lidx[:pcap]
+        strand_c = jnp.where(frame_s[li] >= 3, 0, 1).astype(jnp.int32)
+        cands = jnp.stack([contig_s[li], strand_c, left_s[li],
+                           best_edge[li], evidence[li], peg_s[li]], 1)
+        stats = jnp.stack([
+            nh, jnp.sum((gfirst & ok).astype(jnp.int32)),
+            jnp.sum((gfirst & ok & ~group_ok).astype(jnp.int32)),
+            jnp.sum(short.astype(jnp.int32)), n_live])
+        return carry, (cands, stats)
+
+    _, (cands, stats) = jax.lax.scan(body, None, (tables, salts, pinfo))
+    return jnp.concatenate([cands.reshape(-1), stats.reshape(-1),
+                            n_union.reshape(1)])
+
+
 @dataclass
 class StreamWindowIndex:
     """Device-resident contig window keys (base-major stream order).
@@ -502,6 +702,27 @@ class _PegInfo(NamedTuple):
     protein_length: int
 
 
+@dataclass
+class _CloseSet:
+    """Device-resident state for one ordered set of close genomes (the
+    fused-scan path): stacked singleton tables + union table + per-peg
+    threshold arrays, cached across the new genomes of a batch run."""
+
+    tables: jnp.ndarray          # (G, rows, 72) uint32
+    salts: jnp.ndarray           # (G,) uint32
+    pinfo: jnp.ndarray           # (G, 3, Pmax) int32
+    union_table: jnp.ndarray     # (Ru, 72) uint32
+    union_salt: jnp.ndarray      # uint32 scalar
+    union_mp: int
+    mp_max: int
+    peg_infos: list              # per live genome: list[_PegInfo]
+    n_singles: list              # per INPUT genome (zeros included)
+    live_map: list               # live genome → input genome position
+    n_union_keys: int
+    max_delta: int               # max maxlen3 across genomes
+    ucap_hint: int = 0
+
+
 class ProjectionAnnotator:
     """Annotates genomes by projecting close-genome proteins onto ORFs."""
 
@@ -532,6 +753,9 @@ class ProjectionAnnotator:
         self.engine = engine
         self.table_cache_bytes = table_cache_bytes
         self._table_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._singleton_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._closeset_cache: "OrderedDict[tuple, _CloseSet]" = OrderedDict()
+        self._pcap_hint = 1 << 14
 
     def _use_stream_index(self) -> bool:
         """Device stream path on accelerators; host index on plain CPU
@@ -666,8 +890,189 @@ class ProjectionAnnotator:
                 total -= e[0].nbytes
         return got
 
+    def _singletons(self, genome: Genome):
+        """Host singleton kmers of a close genome, LRU-cached by id."""
+        key = (genome.id, self.k)
+        got = self._singleton_cache.get(key)
+        if got is not None:
+            self._singleton_cache.move_to_end(key)
+            return got
+        lo, hi, peg_idx, pegs = peg_singleton_kmers(genome, self.k)
+        peg_info = [_PegInfo(f.id, f.function, f.protein_length)
+                    for f in pegs]
+        got = (lo, hi, np.asarray(peg_idx, np.uint32), peg_info)
+        self._singleton_cache[key] = got
+        while len(self._singleton_cache) > 64:
+            self._singleton_cache.popitem(last=False)
+        return got
+
+    def _close_set(self, olds: list) -> "_CloseSet | None":
+        """Build (or fetch) the fused-scan device state for this ordered
+        close-genome set; None when any genome exceeds the packed-key
+        field widths or the wide-table capacity (RLE fallback)."""
+        key = (tuple(og.id for og in olds), self.k)
+        cs = self._closeset_cache.get(key)
+        if cs is not None:
+            self._closeset_cache.move_to_end(key)
+            return cs
+        singles = [self._singletons(og) for og in olds]
+        n_singles = [len(s[0]) for s in singles]
+        live = [(i, s) for i, s in enumerate(singles) if len(s[0])]
+        if not live:
+            return None
+        rows_list = []
+        for _, s in live:
+            if len(s[3]) > (1 << _PEG_BITS):
+                return None
+            r = wide_rows_for(_bucket(len(s[0]), 4096))
+            if r is None:
+                return None                     # huge singleton set
+            rows_list.append(r)
+        # union of all singleton kmers across the set
+        keys64 = np.unique(np.concatenate(
+            [(s[1].astype(np.uint64) << np.uint64(32))
+             | s[0].astype(np.uint64) for _, s in live]))
+        if wide_rows_for(len(keys64)) is None:
+            return None
+        u_lo = (keys64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        u_hi = (keys64 >> np.uint64(32)).astype(np.uint32)
+        utab, usalt, ump = build_wide_table(
+            u_lo, u_hi, np.zeros(len(u_lo), np.uint32))
+        rows_common = max(rows_list)
+        tables, salts, mps = [], [], []
+        for _, s in live:
+            lo, hi, peg_idx, _ = s
+            n = len(lo)
+            n_pad = _bucket(n, 4096)
+            s_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+            s_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+            s_peg = np.zeros(n_pad, np.uint32)
+            s_lo[:n], s_hi[:n], s_peg[:n] = lo, hi, peg_idx
+            table, bad = _build_singleton_wide(
+                jnp.asarray(s_lo), jnp.asarray(s_hi), jnp.asarray(s_peg),
+                rows_common)
+            if bool(bad):
+                htab, hsalt, hmp = build_wide_table(
+                    lo, hi, peg_idx, n_rows=rows_common)
+                tables.append(jnp.asarray(htab))
+                salts.append(hsalt)
+                mps.append(hmp)
+            else:
+                tables.append(table)
+                salts.append(0)
+                mps.append(1)
+        pmax = _bucket(max(len(s[3]) for _, s in live), 1024)
+        pinfo = np.zeros((len(live), 3, pmax), np.int32)
+        pinfo[:, 2, :] = 1 << 30              # pad pegs: never group_ok
+        max_delta = 0
+        for j, (_, s) in enumerate(live):
+            plen3 = np.fromiter((p.protein_length for p in s[3]),
+                                np.int64, len(s[3])) * 3
+            maxlen3 = (plen3 * self.max_fuzz + 1).astype(np.int64)
+            pinfo[j, 0, : len(plen3)] = maxlen3
+            pinfo[j, 1, : len(plen3)] = (plen3 * self.min_fuzz
+                                         ).astype(np.int64)
+            pinfo[j, 2, : len(plen3)] = (plen3 * (self.min_strength / 3)
+                                         ).astype(np.int64)
+            if len(maxlen3):
+                max_delta = max(max_delta, int(maxlen3.max()))
+        cs = _CloseSet(
+            tables=jnp.stack(tables),
+            salts=jnp.asarray(np.array(salts, np.uint32)),
+            pinfo=jnp.asarray(pinfo),
+            union_table=jnp.asarray(utab),
+            union_salt=jnp.uint32(usalt),
+            union_mp=ump, mp_max=max(mps),
+            peg_infos=[s[3] for _, s in live],
+            n_singles=n_singles,
+            live_map=[i for i, _ in live],
+            n_union_keys=len(keys64), max_delta=max_delta)
+        self._closeset_cache[key] = cs
+        while len(self._closeset_cache) > 4:
+            self._closeset_cache.popitem(last=False)
+        return cs
+
     def _project_all_stream(self, olds: list, index: StreamWindowIndex,
                             proposals: PegProposalList) -> None:
+        """Fused union-probe + device window-scan path; RLE fallback when
+        the packed-key fields or wide-table capacity don't fit."""
+        if not olds:
+            return
+        cs = self._close_set(olds)
+        if (cs is None
+                or len(index.contig_ids) > (1 << _CONTIG_BITS)
+                or (int(index.seg_len.max(initial=0)) + cs.max_delta
+                    + 3 * self.k) >= (1 << _LEFT_BITS)):
+            return self._project_all_stream_rle(olds, index, proposals)
+        for og, n in zip(olds, cs.n_singles):
+            log.info("%d unique peg kmers in %s.", n, og.id)
+        n_stream = int(index.d_lo.shape[0])
+        g = len(cs.peg_infos)
+        d_segs = (jnp.asarray(index.seg_start.astype(np.int32)),
+                  jnp.asarray(index.seg_contig),
+                  jnp.asarray(index.seg_strand),
+                  jnp.asarray(index.seg_len.astype(np.int32)))
+        ucap = cs.ucap_hint or min(
+            _bucket(2 * cs.n_union_keys + 4096, 1 << 16), n_stream)
+        pcap = self._pcap_hint
+        while True:
+            ucap_eff = min(ucap, n_stream)
+            pcap_eff = min(pcap, ucap_eff)
+            u = _union_compact(
+                cs.union_table, cs.union_salt, index.d_lo, index.d_hi,
+                index.d_valid, *d_segs, k=self.k, ucap=ucap_eff,
+                max_probes=cs.union_mp)
+            flat = _scan_genomes(
+                cs.tables, cs.salts, cs.pinfo, *u,
+                k=self.k, ucap=ucap_eff, pcap=pcap_eff,
+                max_probes=cs.mp_max)
+            buf = np.asarray(flat)              # the ONE host pull
+            nc = g * pcap_eff * 6
+            cands = buf[:nc].reshape(g, pcap_eff, 6)
+            stats = buf[nc: nc + g * 5].reshape(g, 5)
+            n_union = int(buf[-1])
+            if n_union > ucap_eff and ucap_eff < n_stream:
+                ucap = min(max(ucap * 2, _bucket(n_union, 1 << 16)),
+                           n_stream)
+                continue
+            max_live = int(stats[:, 4].max(initial=0))
+            if max_live > pcap_eff:
+                pcap = _bucket(max_live, pcap_eff * 2)
+                continue
+            break
+        cs.ucap_hint = ucap
+        self._pcap_hint = pcap
+        for j in range(g):
+            n_hits, n_groups, low_kmer, too_short, n_live = (
+                int(v) for v in stats[j])
+            log.info("%d matching kmers found.", n_hits)
+            if n_hits == 0:
+                continue
+            peg_info = cs.peg_infos[j]
+            rows = cands[j, :n_live].astype(np.int64)
+            funcs = [p.function for p in peg_info]
+            stored = proposals.propose_batch(
+                rows[:, 0], index.contig_ids, rows[:, 1], rows[:, 2],
+                rows[:, 3], rows[:, 4], rows[:, 5], funcs)
+            if self.trace_function is not None:
+                for ci, prop in stored:
+                    if prop.function != self.trace_function:
+                        continue
+                    peg = peg_info[int(rows[ci, 5])]
+                    whole = Location(
+                        index.contig_ids[int(rows[ci, 0])],
+                        "+" if rows[ci, 1] == 0 else "-",
+                        int(rows[ci, 2]), int(rows[ci, 3]))
+                    log.info("Proposal stored using %s at location %s "
+                             "with evidence %d and strength %s.", peg.id,
+                             whole, int(rows[ci, 4]), prop.strength)
+            log.info("%d peg/frame pairs examined, %d had too few kmers, "
+                     "%d were too short, %d proposals were made.",
+                     n_groups, low_kmer, too_short, n_live)
+
+    def _project_all_stream_rle(self, olds: list,
+                                index: StreamWindowIndex,
+                                proposals: PegProposalList) -> None:
         """Project every close genome through ONE multi-table device call
         (_probe_rle_multi) against the cached singleton tables, then
         expand RLE hits and scan/propose per genome in order -- proposal
