@@ -112,6 +112,27 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kan_java_apply.argtypes = [ctypes.c_void_p, c_char_p, i64p,
                                        i64, i32, i32, i32p]
         lib.kan_java_free.argtypes = [ctypes.c_void_p]
+        lib.kan_jproj_new.restype = ctypes.c_void_p
+        lib.kan_jproj_new.argtypes = [u8p, i64p, i64, u8p, i32]
+        lib.kan_jproj_map_size.restype = i64
+        lib.kan_jproj_map_size.argtypes = [ctypes.c_void_p]
+        lib.kan_jproj_match.argtypes = [
+            ctypes.c_void_p, u8p, i64p, i64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, i64p]
+        lib.kan_jproj_free.argtypes = [ctypes.c_void_p]
+        lib.kan_hash_new.restype = ctypes.c_void_p
+        lib.kan_hash_new.argtypes = [u8p, i64p, i64, i32,
+                                     ctypes.c_double]
+        lib.kan_hash_kmers.restype = i64
+        lib.kan_hash_kmers.argtypes = [ctypes.c_void_p]
+        lib.kan_hash_score.restype = i64
+        lib.kan_hash_score.argtypes = [ctypes.c_void_p, u8p, i64p, i64,
+                                       i32]
+        lib.kan_hash_best.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            i32p]
+        lib.kan_hash_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -358,6 +379,114 @@ class ProjectionBaseline:
     def close(self):
         if self._h:
             self._lib.kan_proj_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class JavaProjectionBaseline:
+    """Java-dataflow ORF-projection hot loops (kan_jproj_* in
+    kan_host.cpp): string-keyed contig kmer map + CountMap<String>
+    singleton counting + per-window substring hashing — the closest
+    single-core model of what KmerProcessor.annotateGenome actually runs
+    on the JVM (KmerReference.java:157-203, KmerProcessor.java:197-254).
+    Same ``match`` contract as ProjectionBaseline."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, contig_codes: list[np.ndarray], lut65: np.ndarray,
+                 k: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        concat = np.ascontiguousarray(
+            np.concatenate(contig_codes) if contig_codes
+            else np.zeros(0, np.uint8), np.uint8)
+        offs = np.zeros(len(contig_codes) + 1, np.int64)
+        np.cumsum([len(c) for c in contig_codes], out=offs[1:])
+        self._h = lib.kan_jproj_new(
+            concat, offs, len(contig_codes),
+            np.ascontiguousarray(lut65, np.uint8), k)
+        if not self._h:
+            raise MemoryError("kan_jproj_new failed")
+
+    def map_size(self) -> int:
+        return int(self._lib.kan_jproj_map_size(self._h))
+
+    def match(self, proteins: list[str], min_strength: float,
+              max_fuzz: float, min_fuzz: float) -> tuple[int, int, int]:
+        concat_b, offs = _concat_offsets(proteins)
+        codes = np.empty(len(concat_b), np.uint8)
+        self._lib.kan_encode_protein(concat_b, len(concat_b), codes)
+        out = np.zeros(3, np.int64)
+        self._lib.kan_jproj_match(self._h, codes, offs, len(proteins),
+                                  min_strength, max_fuzz, min_fuzz, out)
+        return int(out[0]), int(out[1]), int(out[2])
+
+    def close(self):
+        if self._h:
+            self._lib.kan_jproj_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class HashAnnoBaseline:
+    """Single-core compiled hashAnno hot loop (kan_hash_* in
+    kan_host.cpp): the sequential GenomeProteinKmers dataflow —
+    kmer→protein hash build, per-prototype probe + Jaccard best-proposal
+    update (HashAnnotationProcessor.java:233-263) — for the device
+    engine's vs_compiled multiple."""
+
+    __slots__ = ("_lib", "_h", "_n", "_base")
+
+    def __init__(self, proteins: list[str], k: int, min_score: float):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._n = len(proteins)
+        self._base = 0
+        concat_b, offs = _concat_offsets(proteins)
+        codes = np.empty(len(concat_b), np.uint8)
+        lib.kan_encode_protein(concat_b, len(concat_b), codes)
+        self._h = lib.kan_hash_new(codes, offs, len(proteins), k,
+                                   min_score)
+        if not self._h:
+            raise MemoryError("kan_hash_new failed")
+
+    def n_kmers(self) -> int:
+        return int(self._lib.kan_hash_kmers(self._h))
+
+    def score(self, prototypes: list[str]) -> int:
+        """Score prototypes sequentially; returns improvement events."""
+        concat_b, offs = _concat_offsets(prototypes)
+        codes = np.empty(len(concat_b), np.uint8)
+        self._lib.kan_encode_protein(concat_b, len(concat_b), codes)
+        got = int(self._lib.kan_hash_score(
+            self._h, codes, offs, len(prototypes), self._base))
+        self._base += len(prototypes)
+        return got
+
+    def best(self) -> tuple[np.ndarray, np.ndarray]:
+        """(best_sim float64, winning prototype index or -1) per protein."""
+        sim = np.zeros(self._n, np.float64)
+        proto = np.zeros(self._n, np.int32)
+        self._lib.kan_hash_best(self._h, sim, proto)
+        return sim, proto
+
+    def close(self):
+        if self._h:
+            self._lib.kan_hash_free(self._h)
             self._h = None
 
     def __del__(self):

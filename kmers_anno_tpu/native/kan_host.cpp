@@ -759,3 +759,328 @@ void kan_java_apply(void* hv, const char* prots, const int64_t* offs,
 void kan_java_free(void* hv) { delete static_cast<KanJavaMap*>(hv); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Java-dataflow projection baseline (string-keyed maps, handle-based)
+// ---------------------------------------------------------------------------
+//
+// kan_proj_* above uses packed integer keys — a strict floor on what the
+// reference's JVM actually costs.  This variant reproduces the Java
+// dataflow of annotateGenome's hot loops: the contig index is a
+// HashMap<String kmer, List<Location>> built by materializing every
+// frame-translation substring (KmerReference.getContigKmers,
+// KmerReference.java:157-203), peg singleton counting is a
+// CountMap<String> of substrings (KmerProcessor.java:319-327), and every
+// probe hashes the kmer characters (197-207).  C++ std::string SSO (k=8
+// fits inline) still avoids Java's per-substring heap allocation, so the
+// resulting multiple remains conservative.
+
+namespace {
+
+struct KanJProj {
+  int k;
+  std::unordered_map<std::string, std::vector<ProjLoc>> map;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* kan_jproj_new(const uint8_t* dna, const int64_t* offs,
+                    int64_t n_contigs, const uint8_t* lut65, int32_t k) {
+  auto* h = new (std::nothrow) KanJProj();
+  if (!h) return nullptr;
+  h->k = k;
+  const int64_t k3 = 3 * k;
+  std::vector<uint8_t> rc;
+  std::string aa;
+  std::string kmer;
+  for (int64_t c = 0; c < n_contigs; ++c) {
+    const uint8_t* seq = dna + offs[c];
+    const int64_t L = offs[c + 1] - offs[c];
+    rc.assign(seq, seq + L);
+    std::reverse(rc.begin(), rc.end());
+    for (auto& b : rc)
+      if (b < 4) b ^= 2;
+    for (int strand = 0; strand < 2; ++strand) {
+      const uint8_t* s = strand == 0 ? seq : rc.data();
+      for (int f = 0; f < 3; ++f) {
+        const int64_t flen = (L - f) / 3;
+        if (flen <= k) continue;
+        aa.resize(static_cast<size_t>(flen));   // the frame translation
+        for (int64_t p = 0; p < flen; ++p) {
+          const uint8_t c0 = s[f + 3 * p], c1 = s[f + 3 * p + 1],
+                        c2 = s[f + 3 * p + 2];
+          aa[static_cast<size_t>(p)] =
+              static_cast<char>((c0 > 3 || c1 > 3 || c2 > 3)
+                                    ? lut65[64]
+                                    : lut65[c0 * 16 + c1 * 4 + c2]);
+        }
+        for (int64_t p = 0; p < flen - k; ++p) {  // Q1 strict drop-last
+          bool bad = false;
+          for (int j = 0; j < k; ++j) {           // Q2: reject '*'/'X'
+            const uint8_t a = static_cast<uint8_t>(aa[p + j]);
+            if (a == PROT_X || a == PROT_STOP || a >= PROT_PAD) {
+              bad = true;
+              break;
+            }
+          }
+          if (bad) continue;
+          kmer.assign(aa, static_cast<size_t>(p),
+                      static_cast<size_t>(k));    // the substring
+          const int64_t base = 3 * p + f;
+          const int32_t left =
+              strand == 0 ? static_cast<int32_t>(base + 1)
+                          : static_cast<int32_t>(L - k3 + 1 - base);
+          h->map[kmer].push_back(                 // hash chars + insert
+              {static_cast<int32_t>(c), left,
+               static_cast<uint8_t>(strand)});
+        }
+      }
+    }
+  }
+  return h;
+}
+
+int64_t kan_jproj_map_size(void* hv) {
+  return static_cast<int64_t>(static_cast<KanJProj*>(hv)->map.size());
+}
+
+// identical contract to kan_proj_match; prots are PROTEIN CODES and get
+// re-materialized as strings per window like the Java ProteinKmers walk
+void kan_jproj_match(void* hv, const uint8_t* prots, const int64_t* offs,
+                     int64_t n_pegs, double min_strength, double max_fuzz,
+                     double min_fuzz, int64_t* out) {
+  auto* h = static_cast<KanJProj*>(hv);
+  const int k = h->k;
+  const int64_t k3 = 3 * k;
+
+  // hot loop #2: CountMap<String> of peg kmers, keep singletons (Q5)
+  struct Cnt { int32_t count; int32_t peg; };
+  std::unordered_map<std::string, Cnt> counts;
+  counts.reserve(static_cast<size_t>(offs[n_pegs]));
+  std::string kmer;
+  for (int64_t s = 0; s < n_pegs; ++s) {
+    const uint8_t* p = prots + offs[s];
+    const int64_t plen = offs[s + 1] - offs[s];
+    for (int64_t i = 0; i < plen - k; ++i) {      // Q1 strict drop-last
+      bool bad = false;
+      for (int j = 0; j < k; ++j) {               // Q2 peg path: 'X' only
+        const uint8_t a = p[i + j];
+        if (a == PROT_X || a >= PROT_PAD) {
+          bad = true;
+          break;
+        }
+      }
+      if (bad) continue;
+      kmer.assign(reinterpret_cast<const char*>(p) + i,
+                  static_cast<size_t>(k));        // the substring
+      auto& e = counts[kmer];                     // hash chars + insert
+      ++e.count;
+      e.peg = static_cast<int32_t>(s);
+    }
+  }
+
+  // hot loop #3: probe singleton strings into the contig map
+  struct Pair {
+    int32_t frame, peg, contig, left;
+  };
+  std::vector<Pair> pairs;
+  for (const auto& kv : counts) {
+    if (kv.second.count != 1) continue;
+    auto it = h->map.find(kv.first);              // hash chars + probe
+    if (it == h->map.end()) continue;
+    for (const ProjLoc& loc : it->second) {
+      const int32_t right = loc.left + static_cast<int32_t>(k3) - 1;
+      const int32_t frame =
+          loc.strand == 0 ? 3 + loc.left % 3 : right % 3;
+      pairs.push_back({frame, kv.second.peg, loc.contig, loc.left});
+    }
+  }
+  out[0] = static_cast<int64_t>(pairs.size());
+
+  // hot loop #4: (frame, peg) window scan (Q6) — same as kan_proj_match
+  std::sort(pairs.begin(), pairs.end(), [](const Pair& a, const Pair& b) {
+    if (a.frame != b.frame) return a.frame < b.frame;
+    if (a.peg != b.peg) return a.peg < b.peg;
+    if (a.contig != b.contig) return a.contig < b.contig;
+    return a.left < b.left;
+  });
+  int64_t groups = 0, live = 0;
+  const int64_t m = static_cast<int64_t>(pairs.size());
+  int64_t gs = 0;
+  while (gs < m) {
+    int64_t ge = gs + 1;
+    while (ge < m && pairs[ge].frame == pairs[gs].frame &&
+           pairs[ge].peg == pairs[gs].peg)
+      ++ge;
+    ++groups;
+    const int64_t size = ge - gs;
+    const int64_t plen3 =
+        3 * (offs[pairs[gs].peg + 1] - offs[pairs[gs].peg]);
+    const int64_t max_len = static_cast<int64_t>(plen3 * max_fuzz + 1);
+    const int64_t min_len = static_cast<int64_t>(plen3 * min_fuzz);
+    const int64_t min_k = static_cast<int64_t>(plen3 * (min_strength / 3));
+    if (min_k <= size) {
+      int64_t rs = gs;
+      while (rs < ge) {
+        int64_t re = rs + 1;
+        while (re < ge && pairs[re].contig == pairs[rs].contig) ++re;
+        for (int64_t i = rs; i < re; ++i) {
+          if (i - gs > size - min_k) break;
+          const int64_t left = pairs[i].left;
+          const int64_t edge = left + max_len;
+          int64_t lo_j = rs, hi_j = re;
+          while (lo_j < hi_j) {
+            const int64_t mid = (lo_j + hi_j) / 2;
+            if (pairs[mid].left + k3 - 1 < edge) lo_j = mid + 1;
+            else hi_j = mid;
+          }
+          const int64_t ub = lo_j;
+          const int64_t bi = ub - 1 > i ? ub - 1 : i;
+          const int64_t best_edge = pairs[bi].left + k3 - 1;
+          if (best_edge >= left + min_len) ++live;
+        }
+        rs = re;
+      }
+    }
+    gs = ge;
+  }
+  out[1] = groups;
+  out[2] = live;
+}
+
+void kan_jproj_free(void* hv) { delete static_cast<KanJProj*>(hv); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// single-core hashAnno baseline (GenomeProteinKmers dataflow, handle-based)
+// ---------------------------------------------------------------------------
+//
+// The compiled stand-in for the reference's per-genome hashAnno hot loop
+// (HashAnnotationProcessor.java:233-263 via the external
+// GenomeProteinKmers): build a kmer -> protein-list hash from the
+// genome's distinct protein kmer sets, then score every prototype
+// sequentially — per prototype kmer, hash-probe and tally common counts
+// per protein; similarity is the distinct-kmer Jaccard |∩|/|∪| and a
+// proposal improves only on strictly greater similarity at or above the
+// min-score floor (earliest prototype wins ties), exactly the device
+// engine's update rule (engine/hashanno.py).
+
+#include <unordered_set>
+
+namespace {
+
+struct KanHash {
+  int k;
+  double min_score;
+  int64_t n_prot;
+  std::unordered_map<uint64_t, std::vector<int32_t>> map;
+  std::vector<int32_t> nk;          // distinct kmers per protein
+  std::vector<double> best;         // best similarity (0 = default)
+  std::vector<int32_t> best_proto;  // winning prototype index, -1 default
+  std::vector<int32_t> common;      // scratch tally
+  std::vector<int32_t> touched;
+};
+
+inline bool kan_hash_pack(const uint8_t* p, int k, uint64_t* key) {
+  uint64_t v = 0;
+  for (int j = 0; j < k; ++j) {
+    if (p[j] >= PROT_PAD) return false;   // padding guard only
+    v |= static_cast<uint64_t>(p[j]) << (5 * j);
+  }
+  *key = v;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// prots: concatenated protein codes; offs (n_prot+1)
+void* kan_hash_new(const uint8_t* prots, const int64_t* offs,
+                   int64_t n_prot, int32_t k, double min_score) {
+  auto* h = new (std::nothrow) KanHash();
+  if (!h) return nullptr;
+  h->k = k;
+  h->min_score = min_score;
+  h->n_prot = n_prot;
+  h->nk.assign(static_cast<size_t>(n_prot), 0);
+  h->best.assign(static_cast<size_t>(n_prot), 0.0);
+  h->best_proto.assign(static_cast<size_t>(n_prot), -1);
+  h->common.assign(static_cast<size_t>(n_prot), 0);
+  h->map.reserve(static_cast<size_t>(offs[n_prot]));
+  std::unordered_set<uint64_t> distinct;
+  for (int64_t s = 0; s < n_prot; ++s) {
+    const uint8_t* p = prots + offs[s];
+    const int64_t plen = offs[s + 1] - offs[s];
+    distinct.clear();
+    for (int64_t i = 0; i + k <= plen; ++i) {   // ALL L-K+1 windows
+      uint64_t key;
+      if (kan_hash_pack(p + i, k, &key)) distinct.insert(key);
+    }
+    h->nk[static_cast<size_t>(s)] = static_cast<int32_t>(distinct.size());
+    for (uint64_t key : distinct)
+      h->map[key].push_back(static_cast<int32_t>(s));
+  }
+  return h;
+}
+
+int64_t kan_hash_kmers(void* hv) {
+  return static_cast<int64_t>(static_cast<KanHash*>(hv)->map.size());
+}
+
+// protos: concatenated prototype codes; offs (n_proto+1); proto_base is
+// added to the stored winner index.  Returns improvement events.
+int64_t kan_hash_score(void* hv, const uint8_t* protos,
+                       const int64_t* offs, int64_t n_proto,
+                       int32_t proto_base) {
+  auto* h = static_cast<KanHash*>(hv);
+  const int k = h->k;
+  int64_t events = 0;
+  std::unordered_set<uint64_t> distinct;
+  for (int64_t q = 0; q < n_proto; ++q) {
+    const uint8_t* p = protos + offs[q];
+    const int64_t plen = offs[q + 1] - offs[q];
+    distinct.clear();
+    for (int64_t i = 0; i + k <= plen; ++i) {
+      uint64_t key;
+      if (kan_hash_pack(p + i, k, &key)) distinct.insert(key);
+    }
+    const double n2 = static_cast<double>(distinct.size());
+    h->touched.clear();
+    for (uint64_t key : distinct) {             // the hash-probe loop
+      auto it = h->map.find(key);
+      if (it == h->map.end()) continue;
+      for (int32_t o : it->second) {
+        if (h->common[static_cast<size_t>(o)]++ == 0)
+          h->touched.push_back(o);
+      }
+    }
+    for (int32_t o : h->touched) {
+      const double c = h->common[static_cast<size_t>(o)];
+      h->common[static_cast<size_t>(o)] = 0;
+      const double uni = h->nk[static_cast<size_t>(o)] + n2 - c;
+      const double sim = c / (uni > 0 ? uni : 1.0);
+      if (sim >= h->min_score && sim > h->best[static_cast<size_t>(o)]) {
+        h->best[static_cast<size_t>(o)] = sim;
+        h->best_proto[static_cast<size_t>(o)] =
+            proto_base + static_cast<int32_t>(q);
+        ++events;
+      }
+    }
+  }
+  return events;
+}
+
+void kan_hash_best(void* hv, double* out_sim, int32_t* out_proto) {
+  auto* h = static_cast<KanHash*>(hv);
+  std::memcpy(out_sim, h->best.data(), h->best.size() * sizeof(double));
+  std::memcpy(out_proto, h->best_proto.data(),
+              h->best_proto.size() * sizeof(int32_t));
+}
+
+void kan_hash_free(void* hv) { delete static_cast<KanHash*>(hv); }
+
+}  // extern "C"

@@ -113,3 +113,77 @@ def test_java_dataflow_baseline_matches_dict_loop():
                     break
         want = role if (not bad and role is not None and count >= 2) else -1
         assert r == want
+
+
+def test_java_projection_baseline_matches_packed():
+    """kan_jproj (string-keyed Java dataflow) must produce the same
+    pair/group/candidate counters as kan_proj (packed keys)."""
+    from kmers_anno_tpu import native
+    from kmers_anno_tpu.ops.encode import encode_dna
+    from kmers_anno_tpu.ops.translate import codon_lut
+    from tests.fixtures import make_projection_pair
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    new_g, olds = make_projection_pair(seed=21, n_genes=12)
+    codes = [encode_dna(c.sequence) for c in new_g.contigs]
+    lut = np.asarray(codon_lut(new_g.genetic_code), np.uint8)
+    prots = [f.protein_translation for f in olds["300.1"].pegs
+             if f.protein_translation]
+    pb = native.ProjectionBaseline(codes, lut, 8)
+    jb = native.JavaProjectionBaseline(codes, lut, 8)
+    try:
+        assert jb.map_size() == pb.map_size()
+        got_p = pb.match(prots, 0.50, 1.5, 0.8)
+        got_j = jb.match(prots, 0.50, 1.5, 0.8)
+        assert got_j == got_p
+        assert got_p[0] > 0 and got_p[2] > 0
+    finally:
+        pb.close()
+        jb.close()
+
+
+def test_hashanno_baseline_matches_device_engine():
+    """kan_hash (sequential compiled loop) must produce the same best
+    similarities/annotations as the device hashAnno engine."""
+    import random
+
+    from kmers_anno_tpu import native
+    from kmers_anno_tpu.engine.hashanno import (GenomeProteinKmers,
+                                                Prototype)
+    from tests.fixtures import random_protein
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = random.Random(31)
+    proteins = [random_protein(rng, rng.randint(40, 120))
+                for _ in range(60)]
+    protos = []
+    for i in range(40):
+        src = proteins[rng.randrange(len(proteins))]
+        mut = list(src)
+        for _ in range(rng.randint(0, 6)):
+            mut[rng.randrange(len(mut))] = rng.choice("ACDEFGHIKLMNPQRST")
+        protos.append(Prototype("".join(mut), f"Role {i}"))
+    protos.extend(Prototype(random_protein(rng, 80), f"Noise {i}")
+                  for i in range(20))
+
+    gk = GenomeProteinKmers(8, 0.0125)
+    for i, p in enumerate(proteins):
+        gk.add_protein(f"fig|1.1.peg.{i}", p, f"old {i}")
+    gk.process_proposals(list(protos))
+
+    hb = native.HashAnnoBaseline(proteins, 8, 0.0125)
+    try:
+        assert hb.n_kmers() == gk.n_kmers
+        hb.score([p.protein for p in protos])
+        sim, win = hb.best()
+    finally:
+        hb.close()
+    assert np.allclose(sim, gk.best_sim, rtol=0, atol=0)  # exact f64
+    for i in range(len(proteins)):
+        want = protos[win[i]].annotation if win[i] >= 0 else f"old {i}"
+        assert gk.best_anno[i] == want
+    assert (sim > 0).any()
