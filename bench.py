@@ -60,9 +60,23 @@ HBM_PEAK = [("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
             ("v4", 1228e9), ("v6", 1640e9)]
 
 
-def _chain_time(step_fn, stacked_inputs, n_batch, consts=()):
+REPS = 5              # timed repetitions per device section (medians)
+
+
+def _spread(times):
+    """Per-section repetition record: median is the quoted number."""
+    import statistics
+
+    return dict(median=statistics.median(times), min=min(times),
+                max=max(times), reps=len(times))
+
+
+def _chain_time(step_fn, stacked_inputs, n_batch, consts=(), reps=REPS):
     """Time n_batch DISTINCT batches inside one jit with a dependence
-    chain; returns seconds per batch (host-synced by pulling the carry).
+    chain, ``reps`` times; returns the per-batch seconds spread dict
+    (host-synced by pulling the carry).  The quoted value is the MEDIAN
+    over reps — single measurements on a tunneled chip scatter by tens
+    of percent (r4 VERDICT weak #4).
 
     ``consts``: device arrays used by every batch (tables etc.) — passed
     as jit ARGUMENTS, never closed over: closure constants are inlined
@@ -83,9 +97,12 @@ def _chain_time(step_fn, stacked_inputs, n_batch, consts=()):
         return c
 
     int(run(consts, *stacked_inputs))  # compile + warm
-    t0 = time.perf_counter()
-    int(run(consts, *stacked_inputs))
-    return (time.perf_counter() - t0) / n_batch
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(run(consts, *stacked_inputs))
+        times.append((time.perf_counter() - t0) / n_batch)
+    return _spread(times)
 
 
 def make_proteins(rng, protos, n, which):
@@ -161,8 +178,9 @@ def bench_device(rng, protos, key_lo, key_hi, roles):
         return apply_rows(table1, salt1, codes1, valid1,
                           jnp.int32(MIN_HITS), k=K, max_probes=max_probes)
 
-    dt = _chain_time(step, (d_codes,), N_BATCH,
+    sp = _chain_time(step, (d_codes,), N_BATCH,
                      consts=(d_wtab, d_salt, d_valid))
+    dt = sp["median"]
 
     # called-count check on one batch (drives correctness + C++ parity)
     role_out, _ = apply_rows(d_wtab, d_salt, d_codes[0], d_valid,
@@ -183,7 +201,7 @@ def bench_device(rng, protos, key_lo, key_hi, roles):
                                    max_probes=wmax_probes)
 
     wdt = _chain_time(wstep, (d_codes,), N_BATCH,
-                      consts=(d_wwtab, d_wsalt, d_valid))
+                      consts=(d_wwtab, d_wsalt, d_valid))["median"]
 
     # the C++ single-core baseline probes the classic 8-slot layout
     # (the compiled stand-in for Java's HashMap walk)
@@ -191,7 +209,8 @@ def bench_device(rng, protos, key_lo, key_hi, roles):
                                       roles.astype(np.uint32))
 
     lookups = N_PROTEINS * (PROT_LEN - K + 1)
-    return dict(seconds=dt, proteins_per_s=N_PROTEINS / dt,
+    return dict(seconds=dt, seconds_spread=sp,
+                proteins_per_s=N_PROTEINS / dt,
                 lookups_per_s=lookups / dt,
                 padded_lookups=int(N_PROTEINS * width),
                 weighted_proteins_per_s=N_PROTEINS / wdt, called=called,
@@ -305,16 +324,17 @@ def bench_big_table(rng, device_kind):
         return (probe_table_sliced(table1, lo1, hi1, valid1, max_probes),)
 
     dt_plain = _chain_time(plain, (d_qlo, d_qhi), BIG_BATCH,
-                           consts=(d_table, d_valid))
-    dt_sliced = _chain_time(sliced, (d_qlo, d_qhi), BIG_BATCH,
+                           consts=(d_table, d_valid))["median"]
+    sp_sliced = _chain_time(sliced, (d_qlo, d_qhi), BIG_BATCH,
                             consts=(d_wt, d_valid))
+    dt_sliced = sp_sliced["median"]
 
     peak = next((v for s, v in HBM_PEAK if s in device_kind.lower()), None)
     lps = BIG_QUERIES / dt_sliced
     bytes_per_s = lps * 96 * max_probes  # what random access would move
     return dict(
         table_entries=len(key_lo), table_bytes=int(table.nbytes),
-        max_probes=max_probes,
+        max_probes=max_probes, seconds_spread=sp_sliced,
         lookups_per_s=round(lps, 0),
         plain_lookups_per_s=round(BIG_QUERIES / dt_plain, 0),
         sliced_speedup=round(dt_plain / dt_sliced, 2),
@@ -350,9 +370,30 @@ def bench_dna(rng):
         return (probe_dna_flat(table1, codes1, valid1, k=k,
                                max_probes=max_probes),)
 
-    dt = _chain_time(step, (d_codes,), BIG_BATCH, consts=(d_table, d_valid))
-    return dict(k=k, table_entries=len(idx),
-                contig_bases_per_s=round(bases / dt, 0))
+    sp = _chain_time(step, (d_codes,), BIG_BATCH,
+                     consts=(d_table, d_valid))
+    dt = sp["median"]
+
+    # single-core compiled baseline over the same contigs + table
+    from kmers_anno_tpu import native
+
+    cpp = None
+    if native.available():
+        native.dna_baseline(contigs[0], table, max_probes, k)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hits = native.dna_baseline(contigs[0], table, max_probes, k)
+            times.append(time.perf_counter() - t0)
+        cpp = dict(contig_bases_per_s=round(bases / min(times), 0),
+                   hits=hits)
+    return dict(k=k, table_entries=len(idx), seconds_spread=sp,
+                contig_bases_per_s=round(bases / dt, 0),
+                compiled_core_bases_per_s=(cpp["contig_bases_per_s"]
+                                           if cpp else None),
+                vs_compiled=(round(bases / dt
+                                   / cpp["contig_bases_per_s"], 2)
+                             if cpp else None))
 
 
 def bench_build(rng):
@@ -464,24 +505,28 @@ def _make_projection_workload(rng, n_genes, n_close, lo_cod=60,
     return dna, olds, new_genome
 
 
-def _cpp_projection_baseline(new_genome, olds, k):
-    """Single-core compiled hot-loop time (kan_proj_*): contig map build
-    + per-close-genome singleton/probe/window-scan — the compiled
-    stand-in for single-core Java annotateGenome (KmerProcessor.java:
-    166-287).  Returns (seconds, total pairs) or None."""
+def _cpp_projection_baseline(new_genome, olds, k, cls=None):
+    """Single-core hot-loop time: contig map build + per-close-genome
+    singleton/probe/window-scan — the compiled stand-in for single-core
+    Java annotateGenome (KmerProcessor.java:166-287).  ``cls`` selects
+    the packed-key floor (ProjectionBaseline, default) or the
+    string-keyed Java-dataflow model (JavaProjectionBaseline).
+    Returns (seconds, total pairs) or None."""
     from kmers_anno_tpu import native
     from kmers_anno_tpu.ops.encode import encode_dna
     from kmers_anno_tpu.ops.translate import codon_lut
 
     if not native.available():
         return None
+    if cls is None:
+        cls = native.ProjectionBaseline
     g = new_genome()
     prot_sets = [[f.protein_translation for f in og.pegs
                   if f.protein_translation] for og in olds.values()]
     codes = [encode_dna(c.sequence) for c in g.contigs]
     lut = np.asarray(codon_lut(g.genetic_code), np.uint8)
     t0 = time.perf_counter()
-    pb = native.ProjectionBaseline(codes, lut, k)
+    pb = cls(codes, lut, k)
     pairs = 0
     for prots in prot_sets:
         p, _, _ = pb.match(prots, 0.50, 1.5, 0.8)
@@ -502,35 +547,139 @@ def bench_projection(rng):
     """
     from kmers_anno_tpu.engine.projection import ProjectionAnnotator
 
+    from kmers_anno_tpu import native
+
     out = {}
     dna, olds, new_genome = _make_projection_workload(rng, 700, 3)
     annot = ProjectionAnnotator(k=K)
     stats = annot.annotate_genome(new_genome(), olds.get)  # compile + warm
-    t0 = time.perf_counter()
-    stats = annot.annotate_genome(new_genome(), olds.get)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stats = annot.annotate_genome(new_genome(), olds.get)
+        times.append(time.perf_counter() - t0)
     out.update(contig_bases=len(dna), genes_planted=700,
                close_genomes=len(olds), pegs_called=stats["pegs"],
-               seconds_per_genome=round(dt, 3))
+               seconds_per_genome=round(_spread(times)["median"], 3),
+               seconds_spread=_spread(times))
 
     dna, olds, new_genome = _make_projection_workload(rng, 3500, 10)
     annot = ProjectionAnnotator(k=K)
     stats = annot.annotate_genome(new_genome(), olds.get)  # compile + warm
-    t0 = time.perf_counter()
-    stats = annot.annotate_genome(new_genome(), olds.get)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stats = annot.annotate_genome(new_genome(), olds.get)
+        times.append(time.perf_counter() - t0)
+    dt = _spread(times)["median"]
     cpp = _cpp_projection_baseline(new_genome, olds, K)
+    jv = _cpp_projection_baseline(
+        new_genome, olds, K,
+        cls=native.JavaProjectionBaseline if native.available() else None)
     out["realistic"] = dict(
         contig_bases=len(dna), genes_planted=3500, close_genomes=len(olds),
         pegs_called=stats["pegs"], seconds_per_genome=round(dt, 3),
+        seconds_spread=_spread(times),
         compiled_core_seconds=round(cpp[0], 3) if cpp else None,
         vs_compiled=round(cpp[0] / dt, 2) if cpp else None,
-        note=("engine time is warm steady state (close-genome singleton "
-              "tables cached on device, as in a batch run); compiled "
-              "baseline covers hot loops 1-4 only (contig map, "
-              "singletons, probe, window scan) and rebuilds per genome "
-              "like the reference"))
+        java_dataflow_core_seconds=round(jv[0], 3) if jv else None,
+        vs_java_dataflow=round(jv[0] / dt, 2) if jv else None,
+        baseline_pairs=cpp[1] if cpp else None,
+        java_pairs=jv[1] if jv else None,
+        note=("engine time is warm steady state (close-genome tables "
+              "cached on device, as in a batch run); both single-core "
+              "baselines cover hot loops 1-4 only (contig map, "
+              "singletons, probe, window scan) and rebuild per genome "
+              "like the reference — kan_proj is the packed-key floor, "
+              "kan_jproj the string-keyed Java-dataflow model"))
     return out
+
+
+def bench_hashanno(rng):
+    """hashAnno engine throughput (config: 4 genomes × 1500 proteins,
+    4096 prototypes) vs the single-core compiled GenomeProteinKmers loop
+    (kan_hash_*; HashAnnotationProcessor.java:233-263 semantics).
+
+    The device path scores ALL genomes through one combined index
+    (annotate_genomes_batched's design); the baseline builds one hash
+    per genome and walks prototypes sequentially, like the reference's
+    per-genome threads do on one core."""
+    from kmers_anno_tpu import native
+    from kmers_anno_tpu.engine.hashanno import (GenomeProteinKmers,
+                                                Prototype, PrototypeSet)
+
+    n_genomes, n_prot, n_proto = 4, 1500, 4096
+    plen = 250
+    min_score = 0.0125
+    aa = np.frombuffer(AA.encode(), np.uint8)
+    pool = ["".join(chr(c) for c in aa[rng.integers(0, len(aa), plen)])
+            for _ in range(n_prot)]
+    genomes = []
+    for g in range(n_genomes):
+        prots = []
+        for p in pool:
+            b = list(p)
+            for _ in range(3):          # per-genome point mutations
+                b[int(rng.integers(0, len(b)))] = AA[
+                    int(rng.integers(0, len(AA)))]
+            prots.append("".join(b))
+        genomes.append(prots)
+    protos = []
+    for i in range(n_proto):
+        src = pool[int(rng.integers(0, len(pool)))]
+        b = list(src)
+        for _ in range(int(rng.integers(0, 8))):
+            b[int(rng.integers(0, len(b)))] = AA[
+                int(rng.integers(0, len(AA)))]
+        protos.append(Prototype("".join(b), f"Role {i}"))
+    pset = PrototypeSet(protos, K)
+    pset.chunks(4096)                   # pack once (cached, as in a run)
+
+    def run_device():
+        called = 0
+        gks = []
+        for prots in genomes:
+            gk = GenomeProteinKmers(K, min_score)
+            for i, p in enumerate(prots):
+                gk.add_protein(f"fig|g.peg.{i}", p, "hypothetical protein")
+            gk.process_proposals(pset)
+            called += int((gk.best_sim > 0).sum())
+            gks.append(gk)
+        return called, gks
+
+    run_device()                        # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        called_dev, gks = run_device()
+        times.append(time.perf_counter() - t0)
+    sp = _spread(times)
+    dt = sp["median"]
+
+    cpp = None
+    if native.available():
+        texts = [p.protein for p in protos]
+        t0 = time.perf_counter()
+        called_cpp = 0
+        for prots, gk in zip(genomes, gks):
+            hb = native.HashAnnoBaseline(prots, K, min_score)
+            hb.score(texts)
+            sim, _ = hb.best()
+            called_cpp += int((sim > 0).sum())
+            # engine parity: identical best similarities per protein
+            assert np.array_equal(sim, gk.best_sim)
+            hb.close()
+        cpp = dict(seconds=time.perf_counter() - t0,
+                   called=called_cpp)
+    pg = n_proto * n_genomes
+    return dict(
+        genomes=n_genomes, proteins_per_genome=n_prot,
+        prototypes=n_proto, seconds=round(dt, 3), seconds_spread=sp,
+        proto_genome_pairs_per_s=round(pg / dt, 0),
+        called_device=called_dev,
+        compiled_core_seconds=round(cpp["seconds"], 3) if cpp else None,
+        called_compiled=cpp["called"] if cpp else None,
+        vs_compiled=round(cpp["seconds"] / dt, 2) if cpp else None)
 
 
 def bench_mesh_scaling():
@@ -546,7 +695,7 @@ def bench_mesh_scaling():
                         + " --xla_force_host_platform_device_count=8")
     try:
         out = subprocess.run([sys.executable, script], env=env,
-                             capture_output=True, text=True, timeout=900)
+                             capture_output=True, text=True, timeout=1500)
         if out.returncode != 0:
             return {"error": out.stderr.strip()[-400:]}
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -575,13 +724,16 @@ def main():
     big = bench_big_table(rng, dev["device_kind"])
     dna = bench_dna(rng)
     build = bench_build(rng)
+    hashanno = bench_hashanno(rng)
     proj = bench_projection(rng)
-    mesh_thread.join(timeout=900)
+    mesh_thread.join(timeout=1600)
     mesh = mesh_out.get("r", {"error": "mesh harness did not finish"})
 
     vs_cpp = (dev["proteins_per_s"] / cpp["proteins_per_s"]) if cpp else None
     vs_py = dev["proteins_per_s"] / py["proteins_per_s"]
-    print(json.dumps({
+    dev.pop("proteins", None)
+    dev.pop("table", None)
+    full = {
         "metric": "protein sequences/s/chip annotated (1M-entry table)",
         "value": round(dev["proteins_per_s"], 1),
         "unit": "proteins/s",
@@ -591,9 +743,10 @@ def main():
         "vs_baseline": round(vs_cpp, 2) if vs_cpp else None,
         "vs_compiled_core": round(vs_cpp, 2) if vs_cpp else None,
         "vs_python_core": round(vs_py, 2),
-        "timing_note": ("r3+: device-synced chained-batch timing; r1/r2 "
-                        "timed async dispatch and are NOT comparable "
-                        "(they overstated device throughput ~20-30x)"),
+        "timing_note": ("r5: every quoted number is the MEDIAN over "
+                        "repeated device-synced chained-batch timings "
+                        "(seconds_spread records min/max); r1/r2 timed "
+                        "async dispatch and are NOT comparable"),
         "weighted_proteins_per_s": round(dev["weighted_proteins_per_s"], 1),
         "kmer_lookups_per_s": round(dev["lookups_per_s"], 0),
         "compiled_core_proteins_per_s":
@@ -612,11 +765,42 @@ def main():
         "n_table_keys": int(len(key_lo)),
         "called_device": dev["called"],
         "called_compiled": cpp["called"] if cpp else None,
+        "apply_spread": dev.get("seconds_spread"),
         "big_table": big,
         "dna": dna,
         "build": build,
+        "hashanno": hashanno,
         "projection": proj,
         "mesh_scaling_cpu_virtual": mesh,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_full.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    rp = proj.get("realistic", {})
+    # ONE compact line so the driver's record parses (r4's line was so
+    # long only a tail survived); the full record is bench_full.json
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "proteins/s",
+        "vs_baseline": full["vs_baseline"],
+        "vs_compiled_core": full["vs_compiled_core"],
+        "vs_java_dataflow": full["vs_java_dataflow"],
+        "calls_agree": (dev["called"] == (cpp or {}).get("called")
+                        == (jv or {}).get("called")),
+        "kmer_lookups_per_s": full["kmer_lookups_per_s"],
+        "projection_s_per_genome": rp.get("seconds_per_genome"),
+        "projection_vs_compiled": rp.get("vs_compiled"),
+        "projection_vs_java_dataflow": rp.get("vs_java_dataflow"),
+        "hashanno_vs_compiled": hashanno.get("vs_compiled"),
+        "big_table_lookups_per_s": big.get("lookups_per_s"),
+        "big_table_hbm_fraction": big.get("hbm_fraction"),
+        "dna_vs_compiled": dna.get("vs_compiled"),
+        "build_occurrences_per_s": build.get("occurrences_per_s"),
+        "platform": full["platform"],
+        "device_kind": full["device_kind"],
+        "full_record": "bench_full.json",
     }))
 
 

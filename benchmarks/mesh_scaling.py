@@ -86,7 +86,13 @@ def genome_stream(rng, protos, n_roles, n_rows):
     return codes, seg, valid
 
 
-def time_groups(step, d_table, groups):
+def _median(times):
+    import statistics
+
+    return statistics.median(times)
+
+
+def time_groups(step, d_table, groups, reps=3):
     import jax.numpy as jnp
 
     def run_all():
@@ -97,9 +103,12 @@ def time_groups(step, d_table, groups):
         return acc
 
     assert run_all() > 0  # compile + warm + sanity
-    t0 = time.perf_counter()
-    run_all()
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_all()
+        times.append(time.perf_counter() - t0)
+    return _median(times)
 
 
 def main():
@@ -195,9 +204,12 @@ def main():
                 return acc
 
             assert run_all() > 0
-            t0 = time.perf_counter()
-            run_all()
-            return time.perf_counter() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_all()
+                times.append(time.perf_counter() - t0)
+            return _median(times)
 
         t_rt = time_routed()
         rvr[label] = {"routed_over_replicated": round(t_rt / t_rep, 3),
@@ -207,9 +219,119 @@ def main():
                    "routing pays off only when the table cannot be "
                    "replicated")
 
+    # ---- config 5: 100M-entry sharded build -> routed apply ----
+    config5 = config5_section(jax, jnp)
+
     print(json.dumps({"strong": strong_out, "weak": weak_out,
                       "routed_vs_replicated": rvr,
+                      "config5": config5,
                       "platform": "cpu-virtual-8"}))
+
+
+CONFIG5_KEYS = int(os.environ.get("KAN_CONFIG5_KEYS", 100_000_000))
+
+
+def config5_section(jax, jnp):
+    """The ≥100M-entry sharded path, end to end on the virtual mesh
+    (SURVEY §5.8, §7 step 6): hash-partitioned shard tables built from
+    real kmer windows, routed apply over (data=4, table=2), calls
+    byte-identical to a single-device probe of the unsharded table on a
+    subsample.  CPU-virtual timing — the number that matters here is
+    that the path RUNS at this scale; per-shard sizing documents why
+    sharding exists (8 shards × one replica beat 8 full replicas on
+    HBM: a 100M-entry 8-slot table is ~3.2 GB, so replicating it 8×
+    costs ~26 GB of pod HBM vs ~3.2 GB sharded)."""
+    import gc
+
+    from kmers_anno_tpu.engine.apply_engine import apply_flat
+    from kmers_anno_tpu.ops.hashtable import build_table
+    from kmers_anno_tpu.parallel.mesh import (
+        make_mesh, routed_apply_step, shard_signature_table,
+        split_tokens_for_table_axis)
+    from kmers_anno_tpu.engine.signature import pack_kmers_np
+
+    rng = np.random.default_rng(41)
+    n_data, n_table = 4, 2
+    t0 = time.perf_counter()
+    protos = rng.integers(0, 20, size=(200, 120)).astype(np.uint8)
+    blob = rng.integers(0, 20, size=CONFIG5_KEYS + K - 1).astype(np.uint8)
+    lo, hi = pack_kmers_np(blob, K)
+    del blob
+    plo, phi, prole = [], [], []
+    for r in range(200):
+        a, b = pack_kmers_np(protos[r], K)
+        plo.append(a)
+        phi.append(b)
+        prole.append(np.full(len(a), r, np.int32))
+    lo = np.concatenate([lo] + plo)
+    hi = np.concatenate([hi] + phi)
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    ukey, idx = np.unique(key, return_index=True)
+    del key
+    lo, hi = lo[idx], hi[idx]
+    role = rng.integers(0, 200, len(lo)).astype(np.int32)
+    # plant the proto kmers' true roles so planted segments CALL
+    pk = [(b.astype(np.uint64) << np.uint64(32)) | a
+          for a, b in zip(plo, phi)]
+    pos = np.searchsorted(ukey, np.concatenate(pk))
+    role[pos] = np.concatenate(prole)
+    del ukey
+    t_gen = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tables, mp = shard_signature_table(lo, hi, role, n_table)
+    t_shard_build = time.perf_counter() - t0
+    shard_bytes = int(tables[0].nbytes)
+
+    codes, seg, valid = genome_stream(rng, protos, 200, n_data)
+    rows = [split_tokens_for_table_axis(codes[i], seg[i], valid[i],
+                                        n_table, K, N_PROT, 31)
+            for i in range(n_data)]
+    sc = jnp.asarray(np.stack([r[0] for r in rows]))
+    ss = jnp.asarray(np.stack([r[1] for r in rows]))
+    sv = jnp.asarray(np.stack([r[2] for r in rows]))
+    mesh = make_mesh(n_data, n_table)
+    step = routed_apply_step(mesh, k=K, max_probes=mp, n_seqs=N_PROT)
+    d_tables = jnp.asarray(tables)
+    del tables
+    gc.collect()
+    roles_m, hits_m, ovf = step(d_tables, sc, ss, sv, jnp.int32(5))
+    assert int(ovf) == 0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r2, h2, ovf = step(d_tables, sc, ss, sv, jnp.int32(5))
+        int(jnp.sum(h2))
+        times.append(time.perf_counter() - t0)
+    roles_m = np.asarray(roles_m).reshape(n_data, N_PROT)
+    del d_tables
+    gc.collect()
+
+    # byte-identical subsample check vs the unsharded single-device probe
+    t0 = time.perf_counter()
+    ftab, fmp = build_table(lo, hi, role.astype(np.uint32))
+    t_full_build = time.perf_counter() - t0
+    r1, _ = apply_flat(jnp.asarray(ftab), jnp.asarray(codes[0]),
+                       jnp.asarray(seg[0]), jnp.asarray(valid[0]),
+                       jnp.int32(5), k=K, max_probes=fmp, n_seqs=N_PROT)
+    identical = bool(np.array_equal(np.asarray(r1), roles_m[0]))
+    called = int((roles_m >= 0).sum())
+    return dict(
+        table_entries=int(len(lo)),
+        shards=n_table, data_axis=n_data,
+        per_shard_bytes=shard_bytes,
+        full_table_bytes=int(ftab.nbytes),
+        sharded_build_s=round(t_shard_build, 1),
+        full_build_s=round(t_full_build, 1),
+        keygen_s=round(t_gen, 1),
+        routed_step_s=round(_median(times), 3),
+        routed_tokens_per_s=round(codes.size / _median(times), 0),
+        calls=called, subsample_identical=identical,
+        note=("cpu-virtual mesh: proves the >=100M-entry sharded path "
+              "runs and matches the unsharded probe; on real chips "
+              "routing pays when replicas would not fit pod HBM or "
+              "replica broadcast dominates — at this size a replica is "
+              "~3.2 GB/chip vs ~0.4 GB/chip sharded over 8"))
 
 
 if __name__ == "__main__":

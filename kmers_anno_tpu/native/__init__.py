@@ -133,6 +133,8 @@ def get_lib() -> ctypes.CDLL | None:
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             i32p]
         lib.kan_hash_free.argtypes = [ctypes.c_void_p]
+        lib.kan_dna_baseline.restype = i64
+        lib.kan_dna_baseline.argtypes = [u8p, i64, u32p, i64, i32, i32]
         _lib = lib
         return _lib
 
@@ -213,6 +215,21 @@ def apply_baseline(codes: np.ndarray, table: np.ndarray, max_probes: int,
                            table.reshape(-1), table.shape[0],
                            max_probes, k, min_hits, out)
     return out
+
+
+def dna_baseline(codes: np.ndarray, table: np.ndarray, max_probes: int,
+                 k: int) -> int | None:
+    """Single-core compiled DNA window probe (kan_dna_baseline): packs
+    every 2-bit kmer window of a contig code stream and walks the same
+    bucketed table as the device DNA mode.  Returns the hit count, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    table = np.ascontiguousarray(table, np.uint32)
+    return int(lib.kan_dna_baseline(codes, len(codes), table.reshape(-1),
+                                    table.shape[0], max_probes, k))
 
 
 class NativeBuilder:

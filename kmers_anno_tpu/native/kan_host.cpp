@@ -1084,3 +1084,53 @@ void kan_hash_best(void* hv, double* out_sim, int32_t* out_proto) {
 void kan_hash_free(void* hv) { delete static_cast<KanHash*>(hv); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// single-core DNA-mode baseline (config 3)
+// ---------------------------------------------------------------------------
+//
+// Compiled stand-in for a single-core DNA window probe over the bucketed
+// table (the reference has no DNA engine; this gives the device DNA mode
+// — engine/dna_apply.probe_dna_flat — an honest single-core multiple).
+// Packing matches ops/dna_kmers.py: lo = (1 << 2k) | sum(base_i << 2i),
+// hi = 0; windows touching an ambiguous base are skipped.
+
+extern "C" {
+
+// codes: (n,) DNA codes 0..3, >=4 ambiguous; returns total hits
+int64_t kan_dna_baseline(const uint8_t* codes, int64_t n,
+                         const uint32_t* table, int64_t n_buckets,
+                         int32_t max_probes, int32_t k) {
+  const uint32_t mask = static_cast<uint32_t>(n_buckets - 1);
+  const uint32_t marker = 1u << (2 * k);
+  int64_t hits = 0;
+  for (int64_t i = 0; i + k <= n; ++i) {
+    uint32_t lo = marker;
+    bool bad = false;
+    for (int32_t j = 0; j < k; ++j) {
+      const uint8_t c = codes[i + j];
+      if (c > 3) { bad = true; break; }
+      lo |= static_cast<uint32_t>(c) << (2 * j);
+    }
+    if (bad) continue;
+    uint32_t b = kan_fmix32(lo ^ kan_fmix32(0u ^ 0x9E3779B9u)) & mask;
+    int32_t val = -1;
+    for (int32_t r = 0; r < max_probes; ++r) {
+      const uint32_t* row = table + static_cast<size_t>(b) * 24;
+      bool full = true;
+      for (int t = 0; t < 8; ++t) {
+        if (row[t] == lo && row[8 + t] == 0u) {
+          val = static_cast<int32_t>(row[16 + t]);
+          break;
+        }
+        if (row[t] == 0xFFFFFFFFu) full = false;
+      }
+      if (val >= 0 || !full) break;
+      b = (b + 1) & mask;
+    }
+    if (val >= 0) ++hits;
+  }
+  return hits;
+}
+
+}  // extern "C"

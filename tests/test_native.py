@@ -187,3 +187,35 @@ def test_hashanno_baseline_matches_device_engine():
         want = protos[win[i]].annotation if win[i] >= 0 else f"old {i}"
         assert gk.best_anno[i] == want
     assert (sim > 0).any()
+
+
+def test_dna_baseline_matches_device_probe():
+    from kmers_anno_tpu import native
+    from kmers_anno_tpu.engine.dna_apply import probe_dna_flat
+    from kmers_anno_tpu.ops.dna_kmers import pack_dna_np
+    from kmers_anno_tpu.ops.hashtable import build_table
+    import jax.numpy as jnp
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    k = 15
+    seq = rng.integers(0, 4, size=40_000).astype(np.uint8)
+    lo, hi = pack_dna_np(seq[:20_000], k)
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    _, idx = np.unique(key, return_index=True)
+    vals = rng.integers(0, 100, len(idx)).astype(np.uint32)
+    table, mp = build_table(lo[idx], hi[idx], vals)
+    from kmers_anno_tpu.ops.dna_kmers import dna_valid_np
+
+    contig = seq.copy()
+    contig[1000] = 4                      # an ambiguous base
+    valid = np.zeros(len(contig), bool)
+    valid[: len(contig) - k + 1] = dna_valid_np(contig, k)
+    got_dev = np.asarray(probe_dna_flat(
+        jnp.asarray(table), jnp.asarray(contig),
+        jnp.asarray(valid), k=k, max_probes=mp))
+    dev_hits = int((got_dev >= 0).sum())
+    cpp_hits = native.dna_baseline(contig, table, mp, k)
+    assert cpp_hits == dev_hits > 0
