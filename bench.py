@@ -42,6 +42,15 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: compiles over the axon tunnel cost
+# ~25-30 s per big kernel (measured r5), and the projection/apply jits
+# contain many; cached binaries make warm-up across bench runs ~free
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 K = 8
 N_KEYS = 1_000_000
 N_ROLES = 2000

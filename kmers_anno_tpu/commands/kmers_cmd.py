@@ -121,11 +121,21 @@ class BatchKmerProcessor(KmerProcessorBase):
 
     def add_command_options(self, parser: argparse.ArgumentParser) -> None:
         parser.add_argument(
+            "--data-parallel", dest="data_parallel", type=int, default=1,
+            metavar="N",
+            help="fan input genomes across N local devices (round-robin "
+                 "lanes; each lane runs the full single-genome pipeline "
+                 "with its own replicated close-genome tables — the "
+                 "data-axis fan-out of SURVEY §2d DP; outputs are "
+                 "byte-identical to a sequential run)")
+        parser.add_argument(
             "in_file", metavar="inFile",
             help="input file containing input and output GTO names")
 
     def validate_command_parms(self) -> None:
         self.require_file(self.in_file, "Input file")
+        if self.data_parallel < 1:
+            raise ParseFailureException("--data-parallel must be >= 1")
 
     def run_command(self) -> None:
         from ..utils.prefetch import Prefetcher
@@ -138,6 +148,13 @@ class BatchKmerProcessor(KmerProcessorBase):
             jobs = [(os.path.join(base_dir, line.get(0)),
                      os.path.join(base_dir, line.get(1)))
                     for line in reader]
+        if self.data_parallel > 1 and len(jobs) > 1:
+            count = self._run_data_parallel(jobs)
+            if count:
+                log.info("Processing complete.  %d genomes annotated, "
+                         "%s seconds / genome.", count,
+                         (time.time() - start) / count)
+            return
 
         def load(job):
             in_path, out_path = job
@@ -159,3 +176,51 @@ class BatchKmerProcessor(KmerProcessorBase):
             log.info("Processing complete.  %d genomes annotated, "
                      "%s seconds / genome.", count,
                      (time.time() - start) / count)
+
+    def _run_data_parallel(self, jobs) -> int:
+        """Round-robin the genome list across N local devices; each lane
+        thread owns one device (jax.default_device) and its own
+        annotator, so close-genome tables replicate per device and the
+        lanes' device chains overlap.  Every genome still runs the exact
+        single-genome pipeline — outputs are byte-identical to the
+        sequential loop, in any lane order."""
+        import threading
+
+        import jax
+
+        devs = jax.devices()
+        n = min(self.data_parallel, len(devs), len(jobs))
+        log.info("Fanning %d genomes across %d devices.", len(jobs), n)
+        lanes = [jobs[i::n] for i in range(n)]
+        errors: list[BaseException] = []
+        counts = [0] * n
+
+        def worker(lane_idx: int) -> None:
+            annot = ProjectionAnnotator(
+                min_strength=self.min_strength, max_fuzz=self.max_fuzz,
+                min_fuzz=self.min_fuzz, max_genomes=self.max_genomes,
+                min_evidence=self.min_evidence, k=self.kmer,
+                algorithm=self.algorithm,
+                trace_function=self.trace_function)
+            try:
+                with jax.default_device(devs[lane_idx]):
+                    for in_path, out_path in lanes[lane_idx]:
+                        log.info("Reading genome from %s.", in_path)
+                        genome = Genome.load(in_path)
+                        genome.de_annotate()
+                        annot.annotate_genome(genome, self.source.get)
+                        log.info("Writing genome to %s.", out_path)
+                        genome.save(out_path)
+                        counts[lane_idx] += 1
+            except BaseException as exc:  # surfaced to the main thread
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return sum(counts)

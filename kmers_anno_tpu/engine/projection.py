@@ -173,6 +173,23 @@ def _bucket_blocks(n: int) -> int:
 _combine_mask = jax.jit(lambda m, b: m & (b == 0))
 
 
+@partial(jax.jit, static_argnames=("k", "n_pad"))
+def _q1_mask(seg_start, seg_len, d_bad, *, k: int, n_pad: int):
+    """Q1 per-segment window validity ON DEVICE (strict drop-last,
+    KmerReference.java:186-187): replaces a (n_pad,) host bool mask
+    whose push cost ~0.5-1 s/genome over the tunnel."""
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    seg = jnp.searchsorted(seg_start, pos, side="right").astype(
+        jnp.int32) - 1
+    local = pos - seg_start[seg]
+    length = seg_len[seg]
+    k3 = 3 * k
+    n_out = length - k3 + 1
+    flen = (length - local % 3) // 3
+    valid = (local < jnp.maximum(n_out, 0)) & ((local // 3) < (flen - k))
+    return valid & (d_bad == 0)
+
+
 @jax.jit
 def _strict_window_mask(d_lo, d_hi, d_valid):
     """STRICT mode (KmerFactory.java:64-68) on the window stream: keep
@@ -346,6 +363,82 @@ _LMASK = (1 << _LEFT_BITS) - 1
 _SENTINEL = 0xFFFFFFFF
 
 
+# --- device ORF extension state (ops/orf.py semantics as gathers) -------
+
+_ORF_GAP = 4            # separator width between contigs (code 6 blocks)
+_ORF_SEP = np.uint8(6)  # reserved code: forces stop=True / start=False
+
+
+def _min_ev_table(min_strength: float, max_len: int) -> np.ndarray:
+    """minev[L] = smallest integer ev with NOT (ev / L < min_strength),
+    under float64 division — so the device's integer compare reproduces
+    propose_batch's `evidence / length < min_strength` bit-exactly."""
+    L = np.arange(max_len + 1, dtype=np.int64)
+    L[0] = 1
+    ev = np.ceil(min_strength * L).astype(np.int64)
+    ev = np.maximum(ev, 0)
+    ev = np.where((ev - 1) >= 0, np.where((ev - 1) / L >= min_strength,
+                                          ev - 1, ev), ev)
+    ev = np.where(ev / L < min_strength, ev + 1, ev)
+    bad = (ev / L < min_strength) | ((ev - 1) / L >= min_strength)
+    bad &= ev - 1 >= 0
+    if bad.any():  # pragma: no cover - construction is provably 1 step
+        raise AssertionError("min_ev_table failed to converge")
+    return ev.astype(np.int32)
+
+
+def _next_true_dev(mask):
+    """Device _next_true (ops/orf.py): per phase, smallest q >= p with
+    q ≡ p (mod 3) and mask[q]; -1 when none.  len(mask) % 3 == 0."""
+    n = mask.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    res = jnp.zeros(n, jnp.int32)
+    for ph in range(3):
+        v = jnp.where(mask[ph::3], pos[ph::3], big)
+        m = jnp.flip(jax.lax.cummin(jnp.flip(v)))
+        res = res.at[ph::3].set(jnp.where(m < big, m, -1))
+    return res
+
+
+def _prev_true_dev(mask):
+    n = mask.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    res = jnp.zeros(n, jnp.int32)
+    for ph in range(3):
+        v = jnp.where(mask[ph::3], pos[ph::3], jnp.int32(-1))
+        res = res.at[ph::3].set(jax.lax.cummax(v))
+    return res
+
+
+@jax.jit
+def _build_orf_scans(codes, start_lut, stop_lut):
+    """ContigOrfScan for a whole genome in ONE padded code stream.
+
+    codes: (N,) uint8 — contigs separated by >= _ORF_GAP _ORF_SEP codes
+    (leading + trailing gaps included; N ≡ 2 mod 3 so each phase slices
+    evenly).  Separator codons are forced stop=True/start=False, which
+    BLOCKS every scan at contig boundaries: a walk that would leave its
+    contig lands on a separator and fails the local-range/start checks —
+    the same outcome as the host scans' -1 sentinels.
+    """
+    c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
+    ok = (c0 < 4) & (c1 < 4) & (c2 < 4)
+    gap = (c0 >= _ORF_SEP) | (c1 >= _ORF_SEP) | (c2 >= _ORF_SEP)
+    i0 = c0.astype(jnp.int32)
+    i1 = c1.astype(jnp.int32)
+    i2 = c2.astype(jnp.int32)
+    pid = jnp.where(ok, i0 * 16 + i1 * 4 + i2, 64)
+    mid = jnp.where(ok, (i2 ^ 2) * 16 + (i1 ^ 2) * 4 + (i0 ^ 2), 64)
+    p_start = start_lut[pid] & ~gap
+    p_stop = stop_lut[pid] | gap
+    m_start = start_lut[mid] & ~gap
+    m_stop = stop_lut[mid] | gap
+    return (_next_true_dev(p_stop), _prev_true_dev(p_start | p_stop),
+            _prev_true_dev(m_stop), _next_true_dev(m_start | m_stop),
+            p_start, m_start)
+
+
 @partial(jax.jit, static_argnames=("k", "ucap", "max_probes"))
 def _union_compact(table, salt, d_lo, d_hi, d_valid,
                    seg_start, seg_contig, seg_strand, seg_len,
@@ -385,20 +478,33 @@ def _union_compact(table, salt, d_lo, d_hi, d_valid,
     return lo_c, hi_c, klo, base, n_union
 
 
-@partial(jax.jit, static_argnames=("k", "ucap", "pcap", "max_probes"))
+@partial(jax.jit, static_argnames=("k", "ucap", "pcap", "scap",
+                                   "max_probes"))
 def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
-                  *, k: int, ucap: int, pcap: int, max_probes: int):
-    """One lax.scan body over all close genomes: probe + Q6 window scan.
+                  scans, orf_off, contig_len, minev, min_evidence,
+                  *, k: int, ucap: int, pcap: int, scap: int,
+                  max_probes: int):
+    """One lax.scan body over all close genomes: probe + Q6 window scan
+    + ORF extension + exact weak/small filters + Q7 dedup.
 
     tables: (G, rows, 72) stacked wide singleton tables
     salts:  (G,) uint32
     pinfo:  (G, 3, Pmax) int32 — host-precomputed per-peg [maxlen3,
             minlen3, minkmers] (float64 rounding stays on host so the
             fuzz thresholds match numpy bit-for-bit)
-    returns ONE flat int32 buffer: G*(pcap*6) candidate fields
-            [contig, strand, left, best_edge, evidence, peg] + G*5 stats
-            [n_hits, n_groups, low_kmer, too_short, n_live] + [n_union]
-            — a single pull on a latency-bound tunnel.
+    scans:  the 6 _build_orf_scans arrays (device Location.extend)
+    orf_off/contig_len: (C,) int32 per-contig offset into the scan
+            stream / contig length
+    minev:  (Lmax+1,) int32 — _min_ev_table(min_strength) so the weak
+            filter matches numpy float64 division bit-exactly
+    returns ONE flat int32 buffer: G*(scap*8) STORED-event rows
+            [contig, strand, ext_l, ext_r, evidence, peg, left,
+            best_edge] in candidate order + G*9 stats [n_hits, n_groups,
+            low_kmer, too_short, n_live, rejected, weak, small,
+            n_stored] + [n_union] — a single pull on a latency-bound
+            tunnel.  The incumbent (best ev, len per ORF address) is
+            CARRIED across genomes by the lax.scan, so stored/merged
+            decisions are exactly propose_batch's.
     """
     k3 = 3 * k
     idx = jnp.arange(ucap, dtype=jnp.int32)
@@ -407,6 +513,11 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
     pegshift = _CONTIG_BITS - 4
     gshift = jnp.uint32(pegshift)
     frameshift = jnp.uint32(_PEG_BITS + pegshift)
+    (next_stop_p, prev_event_p, prev_stop_m, next_event_m,
+     p_start, m_start) = scans
+    n2_all = next_stop_p.shape[0]
+    ospan = n2_all + 4              # ORF address space per strand
+    pidx = jnp.arange(pcap, dtype=jnp.int32)
 
     def body(carry, g):
         table, salt, pi = g
@@ -459,34 +570,28 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         tag = jnp.concatenate([jnp.zeros(ucap, jnp.int8),
                                jnp.ones(ucap, jnp.int8)])
         src = jnp.concatenate([idx, idx])
-        rid_m2 = jnp.concatenate([rid, rid])
-        mk_hi, mk_lo, tag_m, src_m, rid_m = jax.lax.sort(
-            (mk_hi, mk_lo, tag, src, rid_m2), num_keys=3)
+        mk_hi, mk_lo, tag_m, src_m = jax.lax.sort(
+            (mk_hi, mk_lo, tag, src), num_keys=3)
         isb = tag_m == 1
         real = mk_hi != jnp.uint32(_SENTINEL)
-        # last-B (left, run) inclusive scan — selection semigroup
-        lb_left = jnp.where(isb, (mk_lo & jnp.uint32(_LMASK))
-                            .astype(jnp.int32), 0)
-        lb_run = jnp.where(isb, rid_m, -1)
-
-        def lastb(a, b):
-            s1, l1, r1 = a
-            s2, l2, r2 = b
-            return (s1 | s2, jnp.where(s2, l2, l1),
-                    jnp.where(s2, r2, r1))
-
-        sc_seen, sc_left, sc_run = jax.lax.associative_scan(
-            lastb, (isb, lb_left, lb_run))
         p = jnp.arange(two, dtype=jnp.int32)
         q_rank = jnp.cumsum((~isb).astype(jnp.int32)) - 1
         ub = p - q_rank                       # #B strictly before this Q
         ev_m = jnp.maximum(ub - src_m - 1, 0) + 1
+        # best edge: B[ub-1] (clamped to the element itself, host
+        # semantics s_right[max(ub-1, i)]) — two small gathers into the
+        # pre-merge sorted arrays replace a segmented last-B scan; the
+        # run guard handles ub pointing before this element's run
+        bi = jnp.clip(ub - 1, 0, ucap - 1)
+        bleft = (klo_s[bi] & jnp.uint32(_LMASK)).astype(jnp.int32)
+        brun = rid[bi]
+        rid_m = rid[src_m]
         pegm = jnp.minimum(((mk_hi >> gshift)
                             & jnp.uint32((1 << _PEG_BITS) - 1))
                            .astype(jnp.int32), pmax - 1)
         delta_m = jnp.maximum(pi[0][pegm] - (k3 - 1), 0)
         left_orig = (mk_lo & jnp.uint32(_LMASK)).astype(jnp.int32) - delta_m
-        bestleft = jnp.where(sc_seen & (sc_run == rid_m), sc_left, -1)
+        bestleft = jnp.where((ub >= 1) & (brun == rid_m), bleft, -1)
         be_m = jnp.maximum(bestleft, left_orig) + (k3 - 1)
         tgt = jnp.where((~isb) & real, src_m, ucap)
         evidence = jnp.zeros(ucap + 1, jnp.int32).at[tgt].set(
@@ -500,17 +605,135 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         _, lidx = jax.lax.sort(
             (jnp.where(live, jnp.int8(0), jnp.int8(1)), idx), num_keys=2)
         li = lidx[:pcap]
-        strand_c = jnp.where(frame_s[li] >= 3, 0, 1).astype(jnp.int32)
-        cands = jnp.stack([contig_s[li], strand_c, left_s[li],
-                           best_edge[li], evidence[li], peg_s[li]], 1)
+        c_live = pidx < n_live
+        c_contig = contig_s[li]
+        c_strand = jnp.where(frame_s[li] >= 3, 0, 1).astype(jnp.int32)
+        c_left = left_s[li]
+        c_bedge = best_edge[li]
+        c_ev = evidence[li]
+        c_peg = peg_s[li]
+
+        # ---- device Location.extend (ops/orf.py semantics) ----
+        off = orf_off[jnp.clip(c_contig, 0, orf_off.shape[0] - 1)]
+        lc = contig_len[jnp.clip(c_contig, 0, orf_off.shape[0] - 1)]
+        n2c = lc - 2
+        plus = c_strand == 0
+
+        def gat(arr, local, valid):
+            gi = jnp.clip(off + jnp.clip(local, 0, n2c - 1), 0,
+                          n2_all - 1)
+            return jnp.where(valid & (n2c > 0), arr[gi], -1)
+
+        # '+': stop downstream of right, start-or-stop upstream of left
+        posp = c_bedge                      # 1-based right ≡ 0-based next
+        qp = gat(next_stop_p, posp, plus & (posp < n2c))
+        qp_l = qp - off
+        p0p = c_left - 1
+        p0p = jnp.where(p0p >= n2c,
+                        p0p - 3 * ((p0p - (n2c - 1) + 2) // 3), p0p)
+        ep = gat(prev_event_p, p0p, plus)
+        ep_l = ep - off
+        ep_start = jnp.where(
+            ep >= 0, p_start[jnp.clip(ep, 0, n2_all - 1)], False)
+        ok_p = (plus & (posp < n2c) & (qp >= 0) & (qp_l < n2c)
+                & (ep >= 0) & (ep_l >= 0) & (ep_l < n2c) & ep_start)
+        # '-': stop upstream below left, start-or-stop downstream of right
+        posm = c_left - 4
+        posm = jnp.where(posm >= n2c,
+                         posm - 3 * ((posm - (n2c - 1) + 2) // 3), posm)
+        qm = gat(prev_stop_m, posm, (~plus) & (posm >= 0))
+        qm_l = qm - off
+        p0m = c_bedge - 3
+        p0m = jnp.where(p0m < 0, p0m + 3 * ((-p0m + 2) // 3), p0m)
+        em = gat(next_event_m, p0m, (~plus) & (p0m < n2c))
+        em_l = em - off
+        em_start = jnp.where(
+            em >= 0, m_start[jnp.clip(em, 0, n2_all - 1)], False)
+        ok_m = ((~plus) & (posm >= 0) & (qm >= 0) & (qm_l >= 0)
+                & (em >= 0) & (em_l < n2c) & em_start)
+        len_ok = ((c_bedge - c_left + 1) % 3) == 0
+        ok_ext = c_live & len_ok & jnp.where(plus, ok_p, ok_m)
+        ext_l = jnp.where(plus, ep_l + 1, qm_l + 1)
+        ext_r = jnp.where(plus, qp_l + 3, em_l + 3)
+
+        # ---- exact weak/small filters (propose_batch order) ----
+        elen = jnp.where(ok_ext, ext_r - ext_l + 1, 1)
+        thr = minev[jnp.clip(elen, 0, minev.shape[0] - 1)]
+        weak = ok_ext & (c_ev < thr)
+        small = ok_ext & ~weak & (c_ev < min_evidence)
+        fin = ok_ext & ~weak & ~small
+        n_rej = jnp.sum((c_live & ~ok_ext).astype(jnp.int32))
+        n_weak = jnp.sum(weak.astype(jnp.int32))
+        n_small = jnp.sum(small.astype(jnp.int32))
+
+        # ---- Q7 ORF dedup with exact stored/merged decisions ----
+        inc_ev, inc_len = carry
+        orf_end = jnp.where(plus, ext_r, ext_l)
+        addr = jnp.where(fin, off + orf_end + c_strand * ospan,
+                         2 * ospan)
+        a_s, i_s = jax.lax.sort((addr, pidx), num_keys=2)
+        fin_s = a_s < 2 * ospan
+        ev_s = jnp.where(fin_s, c_ev[i_s], -1)
+        ln_s = jnp.where(fin_s, elen[i_s], 0)
+        first = jnp.concatenate([jnp.ones(1, bool),
+                                 a_s[1:] != a_s[:-1]])
+
+        def comb(a, b):
+            fa, ea, la = a
+            fb, eb, lb = b
+            gt = (ea > eb) | ((ea == eb) & (la > lb))
+            return (fa | fb,
+                    jnp.where(fb, eb, jnp.where(gt, ea, eb)),
+                    jnp.where(fb, lb, jnp.where(gt, la, lb)))
+
+        _, m_ev, m_ln = jax.lax.associative_scan(
+            comb, (first, ev_s, ln_s))
+        # exclusive within-segment prefix max
+        x_ev = jnp.where(first, -1,
+                         jnp.concatenate([jnp.full(1, -1, m_ev.dtype),
+                                          m_ev[:-1]]))
+        x_ln = jnp.where(first, 0,
+                         jnp.concatenate([jnp.zeros(1, m_ln.dtype),
+                                          m_ln[:-1]]))
+        ac = jnp.clip(a_s, 0, 2 * ospan - 1)
+        g_ev = jnp.where(fin_s, inc_ev[ac], -1)
+        g_ln = jnp.where(fin_s, inc_len[ac], 0)
+        inc_gt = (g_ev > x_ev) | ((g_ev == x_ev) & (g_ln > x_ln))
+        eff_ev = jnp.where(inc_gt, g_ev, x_ev)
+        eff_ln = jnp.where(inc_gt, g_ln, x_ln)
+        stored_s = fin_s & ((ev_s > eff_ev)
+                            | ((ev_s == eff_ev) & (ln_s > eff_ln)))
+        # incumbent update: segment-inclusive max vs incumbent at last
+        last = jnp.concatenate([first[1:], jnp.ones(1, bool)]) & fin_s
+        fi_gt = (g_ev > m_ev) | ((g_ev == m_ev) & (g_ln > m_ln))
+        f_ev = jnp.where(fi_gt, g_ev, m_ev)
+        f_ln = jnp.where(fi_gt, g_ln, m_ln)
+        tgt2 = jnp.where(last, a_s, 2 * ospan)
+        inc_ev = inc_ev.at[tgt2].set(f_ev, mode="drop")
+        inc_len = inc_len.at[tgt2].set(f_ln, mode="drop")
+
+        # stored rows back in candidate order, compacted to scap
+        stored = jnp.zeros(pcap, bool).at[i_s].set(stored_s)
+        n_stored = jnp.sum(stored.astype(jnp.int32))
+        _, si = jax.lax.sort(
+            (jnp.where(stored, jnp.int8(0), jnp.int8(1)), pidx),
+            num_keys=2)
+        si = si[:scap]
+        rows = jnp.stack([c_contig[si], c_strand[si], ext_l[si],
+                          ext_r[si], c_ev[si], c_peg[si], c_left[si],
+                          c_bedge[si]], 1)
         stats = jnp.stack([
             nh, jnp.sum((gfirst & ok).astype(jnp.int32)),
             jnp.sum((gfirst & ok & ~group_ok).astype(jnp.int32)),
-            jnp.sum(short.astype(jnp.int32)), n_live])
-        return carry, (cands, stats)
+            jnp.sum(short.astype(jnp.int32)), n_live,
+            n_rej, n_weak, n_small, n_stored])
+        return (inc_ev, inc_len), (rows, stats)
 
-    _, (cands, stats) = jax.lax.scan(body, None, (tables, salts, pinfo))
-    return jnp.concatenate([cands.reshape(-1), stats.reshape(-1),
+    carry0 = (jnp.full(2 * ospan + 1, -1, jnp.int32),
+              jnp.zeros(2 * ospan + 1, jnp.int32))
+    _, (rows, stats) = jax.lax.scan(body, carry0,
+                                    (tables, salts, pinfo))
+    return jnp.concatenate([rows.reshape(-1), stats.reshape(-1),
                             n_union.reshape(1)])
 
 
@@ -539,6 +762,46 @@ class StreamWindowIndex:
     seg_len: np.ndarray         # (S,) int64 contig length
     contig_ids: list
     n_windows: int
+    contig_codes: list = None   # per-contig uint8 codes (lazy ORF state)
+    _orf: tuple = None          # cached device ORF-extension state
+
+    def orf_state(self):
+        """Device ORF-extension state (lazy): the _build_orf_scans
+        arrays + per-contig (offset, length) in the padded code stream.
+        One ~3 MB push per genome, reused by every close genome."""
+        if self._orf is not None:
+            return self._orf
+        from ..genome.dna import GeneticCode
+
+        parts = [np.full(_ORF_GAP, _ORF_SEP, np.uint8)]
+        offs = []
+        pos = _ORF_GAP
+        for codes in self.contig_codes:
+            offs.append(pos)
+            parts.append(codes)
+            parts.append(np.full(_ORF_GAP, _ORF_SEP, np.uint8))
+            pos += len(codes) + _ORF_GAP
+        want = _bucket(pos + 4, 4096)
+        want += (2 - want % 3) % 3          # ≡ 2 mod 3: phases slice even
+        parts.append(np.full(want - pos, _ORF_SEP, np.uint8))
+        stream = np.concatenate(parts)
+        code = GeneticCode.get(self.gc)
+        order = {"t": 0, "c": 1, "a": 2, "g": 3}
+
+        def lut65(codons):
+            out = np.zeros(65, bool)
+            for c in codons:
+                out[order[c[0]] * 16 + order[c[1]] * 4 + order[c[2]]] = 1
+            return out
+
+        scans = _build_orf_scans(jnp.asarray(stream),
+                                 jnp.asarray(lut65(code.starts)),
+                                 jnp.asarray(lut65(code.stops)))
+        self._orf = (scans,
+                     jnp.asarray(np.array(offs, np.int32)),
+                     jnp.asarray(np.array(
+                         [len(c) for c in self.contig_codes], np.int32)))
+        return self._orf
 
     @classmethod
     def build(cls, genome: Genome, k: int = 8, strict: bool = False,
@@ -551,9 +814,11 @@ class StreamWindowIndex:
         k3 = 3 * k
         gap = k3                          # ≥ 3k-1: no window crosses
         parts, meta = [], []
+        contig_codes = []
         pos = 0
         for ci, contig in enumerate(genome.contigs):
             codes = encode_dna(contig.sequence)
+            contig_codes.append(codes)
             length = len(codes)
             for strand, arr in ((0, codes),
                                 (1, reverse_complement_codes(codes))):
@@ -572,18 +837,22 @@ class StreamWindowIndex:
             stream, k, genome.genetic_code, interpret=interpret)
 
         # Q1 validity per segment (strict drop-last, KmerReference
-        # .java:186-187); Q2 ambiguity lives in the device ``bad`` flags
-        mask = np.zeros(n_pad, bool)
-        for ci, strand, start, length in meta:
-            if length < k3:
-                continue
-            n_out = length - k3 + 1
-            p = np.arange(n_out)
-            flen = (length - p % 3) // 3
-            mask[start: start + n_out] = (p // 3) < (flen - k)
-        d_valid = _combine_mask(jnp.asarray(mask), d_bad)
+        # .java:186-187) computed ON DEVICE from segment metadata; Q2
+        # ambiguity lives in the device ``bad`` flags
+        d_valid = _q1_mask(
+            jnp.asarray(np.array([m[2] for m in meta], np.int32)),
+            jnp.asarray(np.array([m[3] for m in meta], np.int32)),
+            d_bad, k=k, n_pad=n_pad)
         if strict:
             d_valid = _strict_window_mask(d_lo, d_hi, d_valid)
+        # window count per segment, analytically (the log line only)
+        n_windows = 0
+        for _, _, _, length in meta:
+            n_out = length - k3 + 1
+            for ph in range(3):
+                if n_out > ph:
+                    n_windows += max(0, min(-(-(n_out - ph) // 3),
+                                            (length - ph) // 3 - k))
         return cls(
             k=k, gc=genome.genetic_code, d_lo=d_lo, d_hi=d_hi,
             d_valid=d_valid,
@@ -592,7 +861,7 @@ class StreamWindowIndex:
             seg_strand=np.array([m[1] for m in meta], np.int8),
             seg_len=np.array([m[3] for m in meta], np.int64),
             contig_ids=[c.id for c in genome.contigs],
-            n_windows=int(mask.sum()))
+            n_windows=n_windows, contig_codes=contig_codes)
 
     def locate(self, pos: np.ndarray):
         """Stream positions → (contig idx, strand, 1-based left edge)."""
@@ -756,6 +1025,19 @@ class ProjectionAnnotator:
         self._singleton_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._closeset_cache: "OrderedDict[tuple, _CloseSet]" = OrderedDict()
         self._pcap_hint = 1 << 14
+        self._scap_hint = 1 << 13
+        self._minev_cache: dict[int, jnp.ndarray] = {}
+
+    def _minev_for(self, index: "StreamWindowIndex"):
+        """Device weak-filter threshold table covering this genome's
+        longest possible extended ORF (float64-exact — _min_ev_table)."""
+        size = _bucket(int(index.seg_len.max(initial=1)) + 2, 1 << 16)
+        got = self._minev_cache.get(size)
+        if got is None:
+            got = jnp.asarray(
+                _min_ev_table(self.min_strength / 3, size))
+            self._minev_cache[size] = got
+        return got
 
     def _use_stream_index(self) -> bool:
         """Device stream path on accelerators; host index on plain CPU
@@ -1012,24 +1294,34 @@ class ProjectionAnnotator:
                   jnp.asarray(index.seg_contig),
                   jnp.asarray(index.seg_strand),
                   jnp.asarray(index.seg_len.astype(np.int32)))
+        scans, orf_off, contig_len = index.orf_state()
+        minev = self._minev_for(index)
+        # union hits rarely exceed the union key count (multi-location
+        # kmers are the exception); the retry loop covers the exception,
+        # so size for the common case — every per-element device pass
+        # downstream scales with ucap
         ucap = cs.ucap_hint or min(
-            _bucket(2 * cs.n_union_keys + 4096, 1 << 16), n_stream)
+            _bucket(cs.n_union_keys + 4096, 1 << 16), n_stream)
         pcap = self._pcap_hint
+        scap = self._scap_hint
         while True:
             ucap_eff = min(ucap, n_stream)
             pcap_eff = min(pcap, ucap_eff)
+            scap_eff = min(scap, pcap_eff)
             u = _union_compact(
                 cs.union_table, cs.union_salt, index.d_lo, index.d_hi,
                 index.d_valid, *d_segs, k=self.k, ucap=ucap_eff,
                 max_probes=cs.union_mp)
             flat = _scan_genomes(
                 cs.tables, cs.salts, cs.pinfo, *u,
-                k=self.k, ucap=ucap_eff, pcap=pcap_eff,
+                scans, orf_off, contig_len, minev,
+                jnp.int32(self.min_evidence),
+                k=self.k, ucap=ucap_eff, pcap=pcap_eff, scap=scap_eff,
                 max_probes=cs.mp_max)
             buf = np.asarray(flat)              # the ONE host pull
-            nc = g * pcap_eff * 6
-            cands = buf[:nc].reshape(g, pcap_eff, 6)
-            stats = buf[nc: nc + g * 5].reshape(g, 5)
+            nc = g * scap_eff * 8
+            rows_all = buf[:nc].reshape(g, scap_eff, 8)
+            stats = buf[nc: nc + g * 9].reshape(g, 9)
             n_union = int(buf[-1])
             if n_union > ucap_eff and ucap_eff < n_stream:
                 ucap = min(max(ucap * 2, _bucket(n_union, 1 << 16)),
@@ -1039,21 +1331,26 @@ class ProjectionAnnotator:
             if max_live > pcap_eff:
                 pcap = _bucket(max_live, pcap_eff * 2)
                 continue
+            max_stored = int(stats[:, 8].max(initial=0))
+            if max_stored > scap_eff:
+                scap = _bucket(max_stored, scap_eff * 2)
+                continue
             break
         cs.ucap_hint = ucap
         self._pcap_hint = pcap
+        self._scap_hint = scap
         for j in range(g):
-            n_hits, n_groups, low_kmer, too_short, n_live = (
-                int(v) for v in stats[j])
+            (n_hits, n_groups, low_kmer, too_short, n_live,
+             n_rej, n_weak, n_small, n_stored) = (int(v) for v in stats[j])
             log.info("%d matching kmers found.", n_hits)
             if n_hits == 0:
                 continue
             peg_info = cs.peg_infos[j]
-            rows = cands[j, :n_live].astype(np.int64)
+            rows = rows_all[j, :n_stored].astype(np.int64)
             funcs = [p.function for p in peg_info]
-            stored = proposals.propose_batch(
-                rows[:, 0], index.contig_ids, rows[:, 1], rows[:, 2],
-                rows[:, 3], rows[:, 4], rows[:, 5], funcs)
+            stored = proposals.replay_stored(
+                rows, index.contig_ids, funcs, made=n_live,
+                rejected=n_rej, weak=n_weak, small=n_small)
             if self.trace_function is not None:
                 for ci, prop in stored:
                     if prop.function != self.trace_function:
@@ -1062,7 +1359,7 @@ class ProjectionAnnotator:
                     whole = Location(
                         index.contig_ids[int(rows[ci, 0])],
                         "+" if rows[ci, 1] == 0 else "-",
-                        int(rows[ci, 2]), int(rows[ci, 3]))
+                        int(rows[ci, 6]), int(rows[ci, 7]))
                     log.info("Proposal stored using %s at location %s "
                              "with evidence %d and strength %s.", peg.id,
                              whole, int(rows[ci, 4]), prop.strength)

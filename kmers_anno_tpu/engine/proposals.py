@@ -225,6 +225,46 @@ class PegProposalList:
         out.sort(key=lambda t: t[0])
         return out
 
+    def replay_stored(self, rows: np.ndarray, contig_ids: list,
+                      functions: list[str], made: int, rejected: int,
+                      weak: int, small: int
+                      ) -> list[tuple[int, "PegProposal"]]:
+        """Apply DEVICE-decided stored events (the fused projection
+        path, engine/projection._scan_genomes).
+
+        The device replicates propose_batch's whole decision chain —
+        extension, float64-exact weak/small filters, Q7 dedup against
+        both in-batch predecessors and cross-genome incumbents (carried
+        in the lax.scan) — and emits only the events that insert or win
+        a merge, in candidate order.  This applies them to the dict:
+        every row whose ORF key is already present is by construction a
+        winning merge (the device's eff-prev test saw the same
+        incumbent), so counters reproduce the sequential semantics.
+
+        rows: (n, 8) int — [contig, strand, ext_l, ext_r, evidence,
+              func_idx, left, best_edge]
+        returns [(row_index, stored_proposal), …] for --trace parity.
+        """
+        self.made += made
+        self.rejected += rejected
+        self.weak += weak
+        self.small += small
+        out = []
+        for i, (c, s, el, er, ev, fx, _l, _b) in enumerate(rows):
+            loc = Location(contig_ids[int(c)], "+" if s == 0 else "-",
+                           int(el), int(er))
+            key = (loc.contig_id, loc.end, loc.strand)
+            old = self._by_orf.get(key)
+            new = PegProposal(loc, functions[int(fx)], int(ev))
+            if old is None:
+                self._by_orf[key] = new
+                out.append((i, new))
+            else:
+                old.merge(new)
+                self.merged += 1
+                out.append((i, old))
+        return out
+
     @property
     def count(self) -> int:
         return len(self._by_orf)
