@@ -45,11 +45,16 @@ import numpy as np
 # persistent XLA compilation cache: compiles over the axon tunnel cost
 # ~25-30 s per big kernel (measured r5), and the projection/apply jits
 # contain many; cached binaries make warm-up across bench runs ~free
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_enable_compile_cache()
 
 K = 8
 N_KEYS = 1_000_000

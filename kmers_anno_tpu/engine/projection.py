@@ -478,12 +478,12 @@ def _union_compact(table, salt, d_lo, d_hi, d_valid,
     return lo_c, hi_c, klo, base, n_union
 
 
-@partial(jax.jit, static_argnames=("k", "ucap", "pcap", "scap",
-                                   "max_probes"))
+@partial(jax.jit, static_argnames=("k", "ucap", "pcap", "lcap",
+                                   "scap", "max_probes"))
 def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
                   scans, orf_off, contig_len, minev, min_evidence,
-                  *, k: int, ucap: int, pcap: int, scap: int,
-                  max_probes: int):
+                  *, k: int, ucap: int, pcap: int, lcap: int,
+                  scap: int, max_probes: int):
     """One lax.scan body over all close genomes: probe + Q6 window scan
     + ORF extension + exact weak/small filters + Q7 dedup.
 
@@ -499,9 +499,9 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
             filter matches numpy float64 division bit-exactly
     returns ONE flat int32 buffer: G*(scap*8) STORED-event rows
             [contig, strand, ext_l, ext_r, evidence, peg, left,
-            best_edge] in candidate order + G*9 stats [n_hits, n_groups,
+            best_edge] in candidate order + G*10 stats [n_hits, n_groups,
             low_kmer, too_short, n_live, rejected, weak, small,
-            n_stored] + [n_union] — a single pull on a latency-bound
+            n_stored, n_cand] + [n_union] — a single pull on a latency-bound
             tunnel.  The incumbent (best ev, len per ORF address) is
             CARRIED across genomes by the lax.scan, so stored/merged
             decisions are exactly propose_batch's.
@@ -557,23 +557,43 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         minkm = pi[2][pegc]
         group_ok = minkm <= size
         cand = ok & group_ok & (i_local <= size - minkm)
+        n_cand = jnp.sum(cand.astype(jnp.int32))
+        # compact the CANDIDATES first (stable: unique idx key) so the
+        # merged-rank pass carries ccap queries instead of ucap — the
+        # r5a version merged a Q copy of every hit and scattered ev/edge
+        # back over 2*ucap, which dominated the body's runtime
+        _, cc = jax.lax.sort(
+            (jnp.where(cand, jnp.int8(0), jnp.int8(1)), idx), num_keys=2)
+        cc = cc[:pcap]
+        ccap_i = jnp.arange(pcap, dtype=jnp.int32)
+        c_is = ccap_i < n_cand
         # ---- Q6 evidence via a merged-rank pass ----
         # host reference: ub = searchsorted(run-prefixed rights,
         # left + maxlen3); here right ≡ left + 3K-1, so the query is the
         # candidate key with left += delta (never carries past the left
         # field — _close_set validates) and Q-before-B tie order gives
-        # the strict '<' count without 64-bit keys.
-        delta = jnp.maximum(maxlen3 - (k3 - 1), 0).astype(jnp.uint32)
-        two = 2 * ucap
-        mk_hi = jnp.concatenate([khi_s, khi_s])
-        mk_lo = jnp.concatenate([klo_s + delta, klo_s])
-        tag = jnp.concatenate([jnp.zeros(ucap, jnp.int8),
+        # the strict '<' count without 64-bit keys.  Merged-sort Q rows
+        # preserve candidate order (delta is constant within a group and
+        # the group prefix dominates the key), so a Q row's rank among Q
+        # rows IS its candidate slot.
+        delta_c = jnp.maximum(pi[0][jnp.minimum(peg_s[cc], pmax - 1)]
+                              - (k3 - 1), 0).astype(jnp.uint32)
+        q_hi = jnp.where(c_is, khi_s[cc], jnp.uint32(_SENTINEL))
+        q_lo = klo_s[cc] + delta_c
+        two = ucap + pcap
+        mk_hi = jnp.concatenate([q_hi, khi_s])
+        mk_lo = jnp.concatenate([q_lo, klo_s])
+        tag = jnp.concatenate([jnp.zeros(pcap, jnp.int8),
                                jnp.ones(ucap, jnp.int8)])
-        src = jnp.concatenate([idx, idx])
-        mk_hi, mk_lo, tag_m, src_m = jax.lax.sort(
-            (mk_hi, mk_lo, tag, src), num_keys=3)
+        src = jnp.concatenate([cc, idx])
+        # left and run id ride as sort PAYLOADS: an extra operand moves
+        # through the bitonic net for ~1 ms while a 1.5M data-dependent
+        # gather costs ~9 ms
+        rid_2 = jnp.concatenate([rid[cc], rid])
+        left_2 = jnp.concatenate([left_s[cc], left_s])
+        mk_hi, mk_lo, tag_m, src_m, rid_m, left_m = jax.lax.sort(
+            (mk_hi, mk_lo, tag, src, rid_2, left_2), num_keys=3)
         isb = tag_m == 1
-        real = mk_hi != jnp.uint32(_SENTINEL)
         p = jnp.arange(two, dtype=jnp.int32)
         q_rank = jnp.cumsum((~isb).astype(jnp.int32)) - 1
         ub = p - q_rank                       # #B strictly before this Q
@@ -585,33 +605,34 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         bi = jnp.clip(ub - 1, 0, ucap - 1)
         bleft = (klo_s[bi] & jnp.uint32(_LMASK)).astype(jnp.int32)
         brun = rid[bi]
-        rid_m = rid[src_m]
-        pegm = jnp.minimum(((mk_hi >> gshift)
-                            & jnp.uint32((1 << _PEG_BITS) - 1))
-                           .astype(jnp.int32), pmax - 1)
-        delta_m = jnp.maximum(pi[0][pegm] - (k3 - 1), 0)
-        left_orig = (mk_lo & jnp.uint32(_LMASK)).astype(jnp.int32) - delta_m
         bestleft = jnp.where((ub >= 1) & (brun == rid_m), bleft, -1)
-        be_m = jnp.maximum(bestleft, left_orig) + (k3 - 1)
-        tgt = jnp.where((~isb) & real, src_m, ucap)
-        evidence = jnp.zeros(ucap + 1, jnp.int32).at[tgt].set(
-            ev_m, mode="drop")[:ucap]
-        best_edge = jnp.zeros(ucap + 1, jnp.int32).at[tgt].set(
-            be_m, mode="drop")[:ucap]
-        short = cand & (best_edge < left_s + minlen3)
-        live = cand & ~short
-        n_live = jnp.sum(live.astype(jnp.int32))
-        # compact live candidates (stable by construction: unique idx key)
-        _, lidx = jax.lax.sort(
-            (jnp.where(live, jnp.int8(0), jnp.int8(1)), idx), num_keys=2)
-        li = lidx[:pcap]
-        c_live = pidx < n_live
-        c_contig = contig_s[li]
-        c_strand = jnp.where(frame_s[li] >= 3, 0, 1).astype(jnp.int32)
-        c_left = left_s[li]
-        c_bedge = best_edge[li]
-        c_ev = evidence[li]
-        c_peg = peg_s[li]
+        be_m = jnp.maximum(bestleft, left_m) + (k3 - 1)
+        # scatter Q results to candidate slots (q_rank == cand slot)
+        tgt = jnp.where(~isb, jnp.clip(q_rank, 0, pcap), pcap)
+        evidence = jnp.zeros(pcap + 1, jnp.int32).at[tgt].set(
+            ev_m, mode="drop")[:pcap]
+        best_edge = jnp.zeros(pcap + 1, jnp.int32).at[tgt].set(
+            be_m, mode="drop")[:pcap]
+        cl = c_left0 = left_s[cc]
+        short_c = c_is & (best_edge < c_left0 + minlen3[cc])
+        live_c = c_is & ~short_c
+        n_live = jnp.sum(live_c.astype(jnp.int32))
+        n_short = jnp.sum(short_c.astype(jnp.int32))
+        # compact LIVE candidates (too-short rows are ~60% of cands on
+        # projection workloads): extension + dedup then run on lcap
+        # arrays instead of pcap
+        _, lv = jax.lax.sort(
+            (jnp.where(live_c, jnp.int8(0), jnp.int8(1)), pidx),
+            num_keys=2)
+        lv = lv[:lcap]
+        c_live = jnp.arange(lcap, dtype=jnp.int32) < n_live
+        cc2 = cc[lv]
+        c_contig = contig_s[cc2]
+        c_strand = jnp.where(frame_s[cc2] >= 3, 0, 1).astype(jnp.int32)
+        c_left = cl[lv]
+        c_peg = peg_s[cc2]
+        c_bedge = best_edge[lv]
+        c_ev = evidence[lv]
 
         # ---- device Location.extend (ops/orf.py semantics) ----
         off = orf_off[jnp.clip(c_contig, 0, orf_off.shape[0] - 1)]
@@ -668,10 +689,11 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
 
         # ---- Q7 ORF dedup with exact stored/merged decisions ----
         inc_ev, inc_len = carry
+        lpos = jnp.arange(lcap, dtype=jnp.int32)
         orf_end = jnp.where(plus, ext_r, ext_l)
         addr = jnp.where(fin, off + orf_end + c_strand * ospan,
                          2 * ospan)
-        a_s, i_s = jax.lax.sort((addr, pidx), num_keys=2)
+        a_s, i_s = jax.lax.sort((addr, lpos), num_keys=2)
         fin_s = a_s < 2 * ospan
         ev_s = jnp.where(fin_s, c_ev[i_s], -1)
         ln_s = jnp.where(fin_s, elen[i_s], 0)
@@ -713,10 +735,10 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         inc_len = inc_len.at[tgt2].set(f_ln, mode="drop")
 
         # stored rows back in candidate order, compacted to scap
-        stored = jnp.zeros(pcap, bool).at[i_s].set(stored_s)
+        stored = jnp.zeros(lcap, bool).at[i_s].set(stored_s)
         n_stored = jnp.sum(stored.astype(jnp.int32))
         _, si = jax.lax.sort(
-            (jnp.where(stored, jnp.int8(0), jnp.int8(1)), pidx),
+            (jnp.where(stored, jnp.int8(0), jnp.int8(1)), lpos),
             num_keys=2)
         si = si[:scap]
         rows = jnp.stack([c_contig[si], c_strand[si], ext_l[si],
@@ -725,8 +747,8 @@ def _scan_genomes(tables, salts, pinfo, lo_c, hi_c, klo, base, n_union,
         stats = jnp.stack([
             nh, jnp.sum((gfirst & ok).astype(jnp.int32)),
             jnp.sum((gfirst & ok & ~group_ok).astype(jnp.int32)),
-            jnp.sum(short.astype(jnp.int32)), n_live,
-            n_rej, n_weak, n_small, n_stored])
+            n_short, n_live,
+            n_rej, n_weak, n_small, n_stored, n_cand])
         return (inc_ev, inc_len), (rows, stats)
 
     carry0 = (jnp.full(2 * ospan + 1, -1, jnp.int32),
@@ -1025,6 +1047,7 @@ class ProjectionAnnotator:
         self._singleton_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._closeset_cache: "OrderedDict[tuple, _CloseSet]" = OrderedDict()
         self._pcap_hint = 1 << 14
+        self._lcap_hint = 1 << 14
         self._scap_hint = 1 << 13
         self._minev_cache: dict[int, jnp.ndarray] = {}
 
@@ -1303,11 +1326,13 @@ class ProjectionAnnotator:
         ucap = cs.ucap_hint or min(
             _bucket(cs.n_union_keys + 4096, 1 << 16), n_stream)
         pcap = self._pcap_hint
+        lcap = self._lcap_hint
         scap = self._scap_hint
         while True:
             ucap_eff = min(ucap, n_stream)
             pcap_eff = min(pcap, ucap_eff)
-            scap_eff = min(scap, pcap_eff)
+            lcap_eff = min(lcap, pcap_eff)
+            scap_eff = min(scap, lcap_eff)
             u = _union_compact(
                 cs.union_table, cs.union_salt, index.d_lo, index.d_hi,
                 index.d_valid, *d_segs, k=self.k, ucap=ucap_eff,
@@ -1316,20 +1341,24 @@ class ProjectionAnnotator:
                 cs.tables, cs.salts, cs.pinfo, *u,
                 scans, orf_off, contig_len, minev,
                 jnp.int32(self.min_evidence),
-                k=self.k, ucap=ucap_eff, pcap=pcap_eff, scap=scap_eff,
-                max_probes=cs.mp_max)
+                k=self.k, ucap=ucap_eff, pcap=pcap_eff, lcap=lcap_eff,
+                scap=scap_eff, max_probes=cs.mp_max)
             buf = np.asarray(flat)              # the ONE host pull
             nc = g * scap_eff * 8
             rows_all = buf[:nc].reshape(g, scap_eff, 8)
-            stats = buf[nc: nc + g * 9].reshape(g, 9)
+            stats = buf[nc: nc + g * 10].reshape(g, 10)
             n_union = int(buf[-1])
             if n_union > ucap_eff and ucap_eff < n_stream:
                 ucap = min(max(ucap * 2, _bucket(n_union, 1 << 16)),
                            n_stream)
                 continue
+            max_cand = int(stats[:, 9].max(initial=0))
+            if max_cand > pcap_eff:
+                pcap = _bucket(max_cand, pcap_eff * 2)
+                continue
             max_live = int(stats[:, 4].max(initial=0))
-            if max_live > pcap_eff:
-                pcap = _bucket(max_live, pcap_eff * 2)
+            if max_live > lcap_eff:
+                lcap = _bucket(max_live, lcap_eff * 2)
                 continue
             max_stored = int(stats[:, 8].max(initial=0))
             if max_stored > scap_eff:
@@ -1338,10 +1367,12 @@ class ProjectionAnnotator:
             break
         cs.ucap_hint = ucap
         self._pcap_hint = pcap
+        self._lcap_hint = lcap
         self._scap_hint = scap
         for j in range(g):
             (n_hits, n_groups, low_kmer, too_short, n_live,
-             n_rej, n_weak, n_small, n_stored) = (int(v) for v in stats[j])
+             n_rej, n_weak, n_small, n_stored, _n_cand) = (
+                int(v) for v in stats[j])
             log.info("%d matching kmers found.", n_hits)
             if n_hits == 0:
                 continue

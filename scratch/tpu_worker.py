@@ -15,11 +15,11 @@ os.makedirs(JOBS, exist_ok=True)
 
 ns = {}
 print("worker up, importing jax...", flush=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 ns["jax"] = jax
 print("devices:", jax.devices(), flush=True)
