@@ -47,6 +47,14 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
             "--batch", dest="batch_size", type=int, default=4, metavar="4",
             help="genomes scored per combined device batch (1 = one "
                  "genome per device pass, the reference's granularity)")
+        parser.add_argument(
+            "--data-parallel", dest="data_parallel", type=int, default=1,
+            metavar="N",
+            help="fan genome batches across N local devices (round-robin "
+                 "lanes, the device analogue of the reference's "
+                 "parallelStream genome fan-out — HashAnnotationProcessor"
+                 ".java:208; per-genome outputs are identical and "
+                 "changes.tbl is written in genome-id order)")
         parser.add_argument("annoFile", metavar="annoFile",
                             help="input role annotation file")
         parser.add_argument("inDir", metavar="inDir",
@@ -102,6 +110,9 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
         ids = sorted(genome_ids)
         groups = [ids[i: i + self.batch_size]
                   for i in range(0, len(ids), self.batch_size)]
+        if self.data_parallel > 1 and len(groups) > 1:
+            return self._run_data_parallel(groups, protoset, rate, totals,
+                                           len(genome_ids))
         with open(self.out_file("changes.tbl"), "w") as change_writer:
             change_writer.write(OUTPUT_HEADER + "\n")
             # genome load/parse of the next batch overlaps device scoring
@@ -139,6 +150,77 @@ class HashAnnotationProcessor(BaseMultiReportProcessor):
         log.info("%d total proteins out of %d features processed for %d "
                  "genomes.", totals["proteins"], totals["features"],
                  len(genome_ids))
+        log.info("%d annotations confirmed, %d updated, %d defaulted.",
+                 totals["confirmed"], totals["changed"],
+                 totals["defaulted"])
+
+    def _run_data_parallel(self, groups, protoset, rate, totals,
+                           n_genomes: int) -> None:
+        """Fan genome batches across N local devices: round-robin lanes,
+        one thread + one device (jax.default_device) + its own combined
+        index per batch — the device mesh analogue of the reference's
+        parallelStream over genomes (HashAnnotationProcessor.java:208).
+        Per-genome ``<id>.anno.tbl`` outputs are identical to the
+        sequential run; changes.tbl rows are gathered per genome and
+        written in genome-id order (the reference's synchronized append
+        wrote them in nondeterministic thread order)."""
+        import threading
+
+        import jax
+
+        devs = jax.devices()
+        n = min(self.data_parallel, len(devs), len(groups))
+        log.info("Fanning %d genome batches across %d devices.",
+                 len(groups), n)
+        lanes = [groups[i::n] for i in range(n)]
+        lock = threading.Lock()
+        all_changes: dict[str, list] = {}
+        errors: list[BaseException] = []
+        done = [0]
+
+        def worker(lane_idx: int) -> None:
+            try:
+                with jax.default_device(devs[lane_idx]):
+                    for group in lanes[lane_idx]:
+                        loaded = [(gid, self.genomes.get(gid))
+                                  for gid in group]
+                        results = annotate_genomes_batched(
+                            [g for _, g in loaded], protoset,
+                            self.kmer_size, self.min_score, rate=rate)
+                        for (gid, genome), (rows, changes, stats) in zip(
+                                loaded, results):
+                            with open(self.out_file(f"{gid}.anno.tbl"),
+                                      "w") as fh:
+                                fh.write(OUTPUT_HEADER + "\n")
+                                for row in rows:
+                                    fh.write("\t".join(row) + "\n")
+                            with lock:
+                                done[0] += 1
+                                log.info("Processed genome %d of %d:  "
+                                         "%s.", done[0], n_genomes,
+                                         genome)
+                                all_changes[gid] = changes
+                                for key in totals:
+                                    totals[key] += stats[key]
+            except BaseException as exc:
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        with open(self.out_file("changes.tbl"), "w") as change_writer:
+            change_writer.write(OUTPUT_HEADER + "\n")
+            for gid in sorted(all_changes):
+                for row in all_changes[gid]:
+                    change_writer.write("\t".join(row) + "\n")
+        log.info("%d total proteins out of %d features processed for %d "
+                 "genomes.", totals["proteins"], totals["features"],
+                 n_genomes)
         log.info("%d annotations confirmed, %d updated, %d defaulted.",
                  totals["confirmed"], totals["changed"],
                  totals["defaulted"])

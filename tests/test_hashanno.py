@@ -246,3 +246,46 @@ def test_rate_logger(caplog):
         rl.add(50)
     assert any("lines/second" in r.getMessage() for r in caplog.records)
     assert rl.n == 150
+
+
+def test_cli_hash_anno_data_parallel_identical(tmp_path):
+    """hashAnno --data-parallel on the 8-virtual-device mesh writes the
+    same per-genome anno.tbl files and change-row set as the sequential
+    run (the parallelStream analogue, SURVEY §2d DP)."""
+    import jax
+
+    from kmers_anno_tpu.commands.app import main
+
+    assert len(jax.devices()) >= 3
+    gto_dir = tmp_path / "gtos"
+    gto_dir.mkdir()
+    genomes = [make_genome(f"80{i}.1", seed=60 + i, n_per_role=2)
+               for i in range(6)]
+    for g in genomes:
+        g.save(str(gto_dir / f"{g.id}.gto"))
+    pegs = [f for f in genomes[0].pegs if f.protein_translation]
+    anno_file = str(tmp_path / "annos.tbl")
+    with open(anno_file, "w") as fh:
+        fh.write("protein\tannotation\n")
+        fh.write(f"{pegs[0].protein_translation}\t"
+                 f"{pegs[0].peg_function}\n")
+        fh.write(f"{pegs[1].protein_translation}\tShiny new function\n")
+
+    out_seq = str(tmp_path / "seq")
+    rc = main(["hashAnno", "-K", str(K), "-D", out_seq, "--minLen", "10",
+               "--batch", "2", anno_file, str(gto_dir)])
+    assert rc == 0
+    out_par = str(tmp_path / "par")
+    rc = main(["hashAnno", "-K", str(K), "-D", out_par, "--minLen", "10",
+               "--batch", "2", "--data-parallel", "3",
+               anno_file, str(gto_dir)])
+    assert rc == 0
+    for g in genomes:
+        a = open(os.path.join(out_seq, f"{g.id}.anno.tbl")).read()
+        b = open(os.path.join(out_par, f"{g.id}.anno.tbl")).read()
+        assert a == b
+    ch_seq = sorted(
+        open(os.path.join(out_seq, "changes.tbl")).read().splitlines()[1:])
+    ch_par = sorted(
+        open(os.path.join(out_par, "changes.tbl")).read().splitlines()[1:])
+    assert ch_seq == ch_par
