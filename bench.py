@@ -62,7 +62,10 @@ N_ROLES = 2000
 N_PROTEINS = 8192
 PROT_LEN = 300
 MIN_HITS = 5
-N_BATCH = 8           # distinct batches chained per timing call
+N_BATCH = 16          # distinct batches chained per timing call: the
+                      # per-call tunnel sync (~24 ms measured r5) is
+                      # amortized across the chain, so longer chains
+                      # measure steady-state throughput more honestly
 AA = "ACDEFGHIKLMNPQRSTVWY"
 
 BIG_KEYS = 10_000_000
@@ -337,11 +340,22 @@ def bench_big_table(rng, device_kind):
     def sliced(table1, valid1, lo1, hi1):
         return (probe_table_sliced(table1, lo1, hi1, valid1, max_probes),)
 
+    d_seg = jnp.asarray(np.arange(BIG_QUERIES, dtype=np.int32) >> 6)
+
+    def sliced_pay(table1, valid1, seg1, lo1, hi1):
+        # payload mode: riders replace the restore sort (the consumer
+        # shape of the big-table apply path — order-free segment votes)
+        v, p = probe_table_sliced(table1, lo1, hi1, valid1, max_probes,
+                                  payload=seg1)
+        return (v, p)
+
     dt_plain = _chain_time(plain, (d_qlo, d_qhi), BIG_BATCH,
                            consts=(d_table, d_valid))["median"]
     sp_sliced = _chain_time(sliced, (d_qlo, d_qhi), BIG_BATCH,
                             consts=(d_wt, d_valid))
     dt_sliced = sp_sliced["median"]
+    dt_pay = _chain_time(sliced_pay, (d_qlo, d_qhi), BIG_BATCH,
+                         consts=(d_wt, d_valid, d_seg))["median"]
 
     peak = next((v for s, v in HBM_PEAK if s in device_kind.lower()), None)
     lps = BIG_QUERIES / dt_sliced
@@ -350,6 +364,7 @@ def bench_big_table(rng, device_kind):
         table_entries=len(key_lo), table_bytes=int(table.nbytes),
         max_probes=max_probes, seconds_spread=sp_sliced,
         lookups_per_s=round(lps, 0),
+        payload_mode_lookups_per_s=round(BIG_QUERIES / dt_pay, 0),
         plain_lookups_per_s=round(BIG_QUERIES / dt_plain, 0),
         sliced_speedup=round(dt_plain / dt_sliced, 2),
         gather_bytes_per_s=round(bytes_per_s, 0),

@@ -77,10 +77,19 @@ def apply_flat(table, codes, seg_ids, valid, min_hits, *,
              hits (n_seqs,) int32 — unanimous hit count, 0 if uncalled)
     """
     lo, hi = pack_kmer_windows(codes, k)
-    probe = probe_table_sliced if sliced else probe_table
-    roles = probe(table, lo, hi, valid, max_probes)
-    hit = valid & (roles >= 0)
-    seg = jnp.where(hit, seg_ids, n_seqs)
+    if sliced:
+        # payload mode: seg ids ride the bucket sort and the segment
+        # votes run on the permuted stream — order-free reductions make
+        # the restore sort (one of the two big sorts bounding the
+        # sliced probe) unnecessary
+        roles, seg_p = probe_table_sliced(table, lo, hi, valid,
+                                          max_probes, payload=seg_ids)
+        hit = roles >= 0
+        seg = jnp.where(hit, seg_p, n_seqs)
+    else:
+        roles = probe_table(table, lo, hi, valid, max_probes)
+        hit = valid & (roles >= 0)
+        seg = jnp.where(hit, seg_ids, n_seqs)
     n_hits = jax.ops.segment_sum(
         hit.astype(jnp.int32), seg, num_segments=n_seqs + 1)[:-1]
     rmin = jax.ops.segment_min(
@@ -106,8 +115,14 @@ def apply_weighted_flat(table, codes, seg_ids, valid, min_weight, *,
     (ops.vote.pick_weighted_vote); no input shape reaches the slow
     sort-based path."""
     lo, hi = pack_kmer_windows(codes, k)
-    probe = probe_table_sliced if sliced else probe_table
-    val = probe(table, lo, hi, valid, max_probes)
+    if sliced:
+        val, seg_p = probe_table_sliced(table, lo, hi, valid,
+                                        max_probes, payload=seg_ids)
+        valid_p = val >= 0
+        roles, weights = split_packed_payload(val)
+        vote = pick_weighted_vote(n_seqs, n_roles)
+        return vote(roles, weights, seg_p, valid_p, min_weight)
+    val = probe_table(table, lo, hi, valid, max_probes)
     roles, weights = split_packed_payload(val)
     vote = pick_weighted_vote(n_seqs, n_roles)
     return vote(roles, weights, seg_ids, valid, min_weight)

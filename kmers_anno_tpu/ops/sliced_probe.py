@@ -150,7 +150,7 @@ def _mxu_gather(slab_bytes, lb, s_rows: int):
 
 @partial(jax.jit, static_argnames=("max_probes", "mxu"))
 def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
-                       mxu: bool = False):
+                       mxu: bool = False, payload=None):
     """Sort-and-stream probe of a windowed table (the big-table hot path).
 
     wtable: (B, 24·max_probes) uint32 from ``windowed_table`` (device-
@@ -160,7 +160,13 @@ def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
     mxu:    gather slice rows through the one-hot matmul (_mxu_gather)
             instead of the XLA row gather (measured neutral — see
             _mxu_gather; the probe is sort-bound)
-    returns (N,) int32 — stored payload, or -1 on miss/invalid
+    payload: optional (N,) int32 rider (e.g. segment ids).  When given,
+            the restore sort is SKIPPED and the return is
+            (values, payload) in bucket-sorted order — the right mode
+            for order-free consumers (segment votes), saving one of the
+            two big sorts that bound this path.
+    returns (N,) int32 — stored payload, or -1 on miss/invalid — or the
+            (values, payload) pair in sorted order when payload is given
     """
     n = key_lo.shape[0]
     nb = wtable.shape[0]
@@ -177,8 +183,13 @@ def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
     mask = jnp.uint32(nb - 1)
     b = (mix_kmer(key_lo, key_hi, jnp) & mask).astype(jnp.int32)
     pos = jnp.arange(n, dtype=jnp.int32)
-    b_s, lo_s, hi_s, pos_s = jax.lax.sort((b, key_lo, key_hi, pos),
-                                          num_keys=1)
+    if payload is None:
+        b_s, lo_s, hi_s, pos_s = jax.lax.sort(
+            (b, key_lo, key_hi, pos), num_keys=1)
+    else:
+        vmask = jnp.where(valid, jnp.int32(0), jnp.int32(-1))
+        b_s, lo_s, hi_s, vmask_s, pay_s, pos_s = jax.lax.sort(
+            (b, key_lo, key_hi, vmask, payload, pos), num_keys=1)
     # pad reads to n+qwin: dynamic_slice CLAMPS a start near the end,
     # which would shift the read window against the write position
     b_p = jnp.concatenate([b_s, jnp.full(qwin, nb, jnp.int32)])
@@ -211,15 +222,23 @@ def probe_table_sliced(wtable, key_lo, key_hi, valid, max_probes: int,
 
         out_pad = jax.lax.fori_loop(
             0, n_slices, step, jnp.full(n + qwin, -1, jnp.int32))
+        if payload is not None:
+            return out_pad[:n]                 # stays in sorted order
         # restore original query order
         _, out = jax.lax.sort((pos_s, out_pad[:n]), num_keys=1)
         return out
 
     def slow(_):
         # qwin overflow (pathological duplicate skew): full gather walk
-        return _compare_window(wtable[b], key_lo, key_hi, max_probes)
+        vals = _compare_window(wtable[b], key_lo, key_hi, max_probes)
+        if payload is not None:
+            # permute into the same sorted order as the fast path
+            return vals[pos_s]
+        return vals
 
     out = jax.lax.cond(overflow, slow, fast, None)
+    if payload is not None:
+        return jnp.where(vmask_s == 0, out, -1), pay_s
     return jnp.where(valid, out, -1)
 
 

@@ -137,3 +137,38 @@ def test_engine_auto_selects_sliced(monkeypatch, tmp_path):
 def test_pick_probe_threshold():
     assert not pick_probe(1 << 20)
     assert pick_probe(1 << 30)
+
+
+def test_payload_mode_matches_sorted():
+    """payload mode returns the same (value per query) multiset, paired
+    with its rider, without the restore sort."""
+    import jax.numpy as jnp
+
+    from kmers_anno_tpu.ops.hashtable import build_table
+    from kmers_anno_tpu.ops.sliced_probe import (probe_table_sliced,
+                                                 windowed_table)
+
+    rng = np.random.default_rng(17)
+    n_keys, n_q = 300_000, 100_000
+    keys = np.unique(rng.integers(0, 1 << 59, n_keys + 9000,
+                                  dtype=np.uint64))[:n_keys]
+    lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(30)).astype(np.uint32)
+    vals = rng.integers(0, 1000, n_keys).astype(np.uint32)
+    table, mp = build_table(lo, hi, vals)
+    wt = jnp.asarray(windowed_table(table, mp))
+    qi = rng.integers(0, n_keys, n_q)
+    qlo = np.where(rng.random(n_q) < 0.7, lo[qi],
+                   rng.integers(0, 1 << 30, n_q)).astype(np.uint32)
+    qhi = hi[qi]
+    valid = rng.random(n_q) < 0.9
+    ref = np.asarray(probe_table_sliced(
+        wt, jnp.asarray(qlo), jnp.asarray(qhi), jnp.asarray(valid), mp))
+    got_v, got_p = probe_table_sliced(
+        wt, jnp.asarray(qlo), jnp.asarray(qhi), jnp.asarray(valid), mp,
+        payload=jnp.arange(n_q, dtype=jnp.int32))
+    got_v, got_p = np.asarray(got_v), np.asarray(got_p)
+    # rider == original position here, so scatter-back must equal ref
+    back = np.full(n_q, -2, np.int32)
+    back[got_p] = got_v
+    assert np.array_equal(back, ref)
