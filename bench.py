@@ -62,7 +62,7 @@ N_ROLES = 2000
 N_PROTEINS = 8192
 PROT_LEN = 300
 MIN_HITS = 5
-N_BATCH = 16          # distinct batches chained per timing call: the
+N_BATCH = 32          # distinct batches chained per timing call: the
                       # per-call tunnel sync (~24 ms measured r5) is
                       # amortized across the chain, so longer chains
                       # measure steady-state throughput more honestly
