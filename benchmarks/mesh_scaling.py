@@ -222,10 +222,76 @@ def main():
     # ---- config 5: 100M-entry sharded build -> routed apply ----
     config5 = config5_section(jax, jnp)
 
+    # ---- batch projection data-parallel fan-out ----
+    batch_dp = batch_dp_section()
+
     print(json.dumps({"strong": strong_out, "weak": weak_out,
                       "routed_vs_replicated": rvr,
                       "config5": config5,
+                      "batch_dp": batch_dp,
                       "platform": "cpu-virtual-8"}))
+
+
+def batch_dp_section():
+    """`batch --data-parallel` wall-clock ratio on the virtual mesh.
+
+    Lanes are device-pinned threads sharing this host's 2 physical
+    cores, so the ideal here is bounded by core count, not lane count —
+    the number to read is that fan-out helps at all (outputs are
+    byte-identical; tests assert that).  On a real multi-chip host each
+    lane owns a chip and the device compute overlaps fully."""
+    import shutil
+    import tempfile
+
+    from kmers_anno_tpu.commands.app import main
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tests.fixtures import make_projection_pair
+
+    def setup(td, tag):
+        d = os.path.join(td, tag)
+        cache = os.path.join(d, "cache")
+        os.makedirs(cache)
+        jobs = []
+        for i in range(6):
+            new_g, olds = make_projection_pair(
+                seed=500 + i, n_genes=100, new_id=f"41{i}.1",
+                old_id=f"31{i}.1")
+            new_g.save(os.path.join(d, f"in{i}.gto"))
+            for gid, og in olds.items():
+                og.save(os.path.join(cache, f"{gid}.gto"))
+            jobs.append((f"in{i}.gto", f"out{i}.gto"))
+        listing = os.path.join(d, "batch.tbl")
+        with open(listing, "w") as fh:
+            fh.writelines(f"{a}\t{b}\n" for a, b in jobs)
+        return listing, cache
+
+    td = tempfile.mkdtemp()
+    try:
+        out = {}
+        for tag, extra in (("seq", []),
+                           ("dp2", ["--data-parallel", "2"]),
+                           ("dp4", ["--data-parallel", "4"])):
+            # first lap warms each lane device's executables (jax caches
+            # compiled programs PER DEVICE); the second lap is timed
+            for lap in range(2):
+                listing, cache = setup(td, f"{tag}{lap}")
+                t0 = time.perf_counter()
+                rc = main(["batch", "--cache", cache] + extra + [listing])
+                assert rc == 0
+                out[tag] = time.perf_counter() - t0
+        return {
+            "genomes": 6,
+            "seq_s": round(out["seq"], 2),
+            "dp2_s": round(out["dp2"], 2),
+            "dp4_s": round(out["dp4"], 2),
+            "dp2_speedup": round(out["seq"] / out["dp2"], 2),
+            "dp4_speedup": round(out["seq"] / out["dp4"], 2),
+            "note": ("lanes share 2 host cores on the virtual mesh; "
+                     "byte-identical outputs are asserted by "
+                     "tests/test_fused_scan.py")}
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 CONFIG5_KEYS = int(os.environ.get("KAN_CONFIG5_KEYS", 100_000_000))
