@@ -637,7 +637,7 @@ def bench_hashanno(rng):
     from kmers_anno_tpu.engine.hashanno import (GenomeProteinKmers,
                                                 Prototype, PrototypeSet)
 
-    n_genomes, n_prot, n_proto = 4, 1500, 4096
+    n_genomes, n_prot, n_proto = 4, 1500, 32768
     plen = 250
     min_score = 0.0125
     aa = np.frombuffer(AA.encode(), np.uint8)

@@ -68,8 +68,59 @@ OWNER_CAP = 32
 
 
 @partial(jax.jit, static_argnames=("n_prot", "n_proto"))
-def _chunk_commons(owner_mat, ranks, proto_of, *, n_prot: int,
-                   n_proto: int):
+def _chunk_best(owner_mat, ranks, proto_of, n1, n2, minc,
+                state_c, state_u, state_i, state_m, chunk_base,
+                *, n_prot: int, n_proto: int):
+    """Common-count matrix + EXACT best-proposal reduction, all device.
+
+    The r3 design pulled the whole (n_proto, n_prot) common matrix per
+    chunk for host float64 Jaccard (~33 MB/chunk — the pull dominated
+    the engine).  Similarities here are small rationals c/u with
+    c, u < 2^15 (GenomeProteinKmers guards the protein length), so:
+
+    * distinct sims differ by ≥ 1/(u1·u2) ≫ f64 ulp — INTEGER
+      cross-multiplication (c1·u2 vs c2·u1, exact in int32) decides
+      exactly what the reference's Java double compares decide;
+    * the min-score floor uses a host-precomputed f64-exact threshold
+      table (minc[u] = smallest c with c/u >= minScore as doubles).
+
+    A log2 tournament over the prototype axis keeps the FIRST maximum
+    (earliest prototype wins ties, the sequential processing order);
+    the running best (c, u, global prototype index) per protein is
+    device state threaded across chunks, improved only on strictly
+    greater similarity.  state_m counts improvement events.
+    returns updated (state_c, state_u, state_i, state_m).
+    """
+    common = _chunk_commons_body(owner_mat, ranks, proto_of,
+                                 n_prot=n_prot, n_proto=n_proto)
+    c = common                                      # (R, P)
+    u = n1[None, :] + n2[:, None] - c
+    uc = jnp.clip(u, 1, minc.shape[0] - 1)
+    c = jnp.where(c >= minc[uc], c, 0)              # min-score floor
+    cc, uu = c, jnp.where(c > 0, u, 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 0)
+    r = cc.shape[0]
+    while r > 1:                                    # first-max tournament
+        half = r // 2
+        c1, u1, i1 = cc[:half], uu[:half], ii[:half]
+        c2, u2, i2 = cc[half:], uu[half:], ii[half:]
+        p1 = c1 * u2
+        p2 = c2 * u1
+        win1 = (p1 > p2) | ((p1 == p2) & (i1 < i2))
+        cc = jnp.where(win1, c1, c2)
+        uu = jnp.where(win1, u1, u2)
+        ii = jnp.where(win1, i1, i2)
+        r = half
+    bc, bu, bi = cc[0], uu[0], ii[0]
+    improved = (bc > 0) & (bc * state_u > state_c * bu)
+    return (jnp.where(improved, bc, state_c),
+            jnp.where(improved, bu, state_u),
+            jnp.where(improved, chunk_base + bi, state_i),
+            state_m + jnp.sum(improved.astype(jnp.int32)))
+
+
+def _chunk_commons_body(owner_mat, ranks, proto_of, *, n_prot: int,
+                        n_proto: int):
     """Dense common-kmer count matrix for one prototype chunk (device).
 
     owner_mat: (U, cap) int32 — owner protein indices per unique genome
@@ -93,6 +144,15 @@ def _chunk_commons(owner_mat, ranks, proto_of, *, n_prot: int,
         jnp.ones(idx.size, jnp.int32), idx.reshape(-1),
         num_segments=(n_proto + 1) * (n_prot + 1))
     return common.reshape(n_proto + 1, n_prot + 1)[:n_proto, :n_prot]
+
+
+@partial(jax.jit, static_argnames=("n_prot", "n_proto"))
+def _chunk_commons(owner_mat, ranks, proto_of, *, n_prot: int,
+                   n_proto: int):
+    """Standalone common-matrix jit (the host-float64 fallback path —
+    heavy-owner CSR genomes and >16k-aa proteins)."""
+    return _chunk_commons_body(owner_mat, ranks, proto_of,
+                               n_prot=n_prot, n_proto=n_proto)
 
 
 @dataclass
@@ -330,12 +390,71 @@ class GenomeProteinKmers:
         n_pad = getattr(self, "n_pad",
                         _bucket(max(len(self._proteins), 1), 256))
         chunk = max(1, min(chunk, DENSE_CELLS // (n_pad + 1) - 1))
-        matches = 0
+        max_len = max((len(p) for p in self._proteins), default=0)
+        max_len = max(max_len,
+                      max((len(p.protein) for p in prototypes.protos),
+                          default=0))
+        fast = (self.table is not None and not len(self.heavy_owners)
+                and max_len <= 16384)
+        if not fast:
+            # heavy-owner CSR or huge proteins: host-float64 path
+            matches = 0
+            for prepared in prototypes.chunks(chunk):
+                matches += self._process_chunk(prepared)
+                if rate is not None:
+                    rate.add(len(prepared[5]))
+            return matches
+        # fast path: device-resident exact-rational best reduction —
+        # ONE small pull at the end instead of a (chunk × proteins)
+        # matrix pull per chunk (_chunk_best)
+        minc = self._minc_table(_bucket(2 * max_len + 4, 1024))
+        n = len(self._proteins)
+        d_n1 = jnp.asarray(np.pad(
+            self.protein_kmer_counts.astype(np.int32),
+            (0, self.n_pad - n)))
+        state = (jnp.zeros(self.n_pad, jnp.int32),
+                 jnp.ones(self.n_pad, jnp.int32),
+                 jnp.full(self.n_pad, -1, jnp.int32),
+                 jnp.int32(0))
+        base = 0
         for prepared in prototypes.chunks(chunk):
-            matches += self._process_chunk(prepared)
+            d_lo, d_hi, d_proto, d_valid, n2, protos, n_proto = prepared
+            if protos:
+                ranks = probe_table(self.table, d_lo, d_hi, d_valid,
+                                    self.max_probes)
+                state = _chunk_best(
+                    self.owner_mat, ranks, d_proto, d_n1,
+                    jnp.asarray(n2.astype(np.int32)), minc, *state,
+                    jnp.int32(base), n_prot=self.n_pad, n_proto=n_proto)
+            base += len(protos)
             if rate is not None:
-                rate.add(len(prepared[5]))
+                rate.add(len(protos))
+        bc = np.asarray(state[0])[:n].astype(np.int64)
+        bu = np.asarray(state[1])[:n].astype(np.int64)
+        bi = np.asarray(state[2])[:n]
+        matches = int(state[3])
+        # float64 division reproduces the Java double the reference
+        # emits; the device compared the same rationals exactly
+        self.best_sim = np.where(bc > 0, bc / np.maximum(bu, 1), 0.0)
+        protos_all = prototypes.protos
+        for p in np.flatnonzero(bi >= 0):
+            self.best_anno[p] = protos_all[int(bi[p])].annotation
         return matches
+
+    def _minc_table(self, size: int):
+        """minc[u] = smallest common count c with (c / u as float64)
+        >= minScore — the device's integer floor test matches the
+        host/Java double compare bit-for-bit."""
+        cache = getattr(self, "_minc_cache", None)
+        if cache is None:
+            cache = self._minc_cache = {}
+        got = cache.get(size)
+        if got is None:
+            from .projection import _min_ev_table
+
+            got = jnp.asarray(_min_ev_table(self.min_score, size))
+            cache[size] = got
+        return got
 
     def _process_chunk(self, prepared) -> int:
         d_lo, d_hi, d_proto, d_valid, n2, protos, n_proto = prepared
