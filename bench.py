@@ -720,8 +720,13 @@ def bench_mesh_scaling():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # 8 device threads share 2 physical cores at config5 scale: the
+    # default 40 s collective-rendezvous watchdog kills the 100M-entry
+    # routed step mid-run (scheduling skew, not a hang)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8")
+                        + " --xla_force_host_platform_device_count=8"
+                        + " --xla_cpu_collective_call_terminate_timeout_"
+                          "seconds=1200")
     try:
         out = subprocess.run([sys.executable, script], env=env,
                              capture_output=True, text=True, timeout=1500)
@@ -745,18 +750,21 @@ def main():
 
     rng = np.random.default_rng(seed=7)
     protos, key_lo, key_hi, roles = make_workload(rng)
+    # device-only sections overlap the CPU-only mesh subprocess; every
+    # SINGLE-CORE baseline runs after the join so the mesh harness's
+    # core contention cannot inflate the vs_compiled multiples
     dev = bench_device(rng, protos, key_lo, key_hi, roles)
+    big = bench_big_table(rng, dev["device_kind"])
+    mesh_thread.join(timeout=1600)
+    mesh = mesh_out.get("r", {"error": "mesh harness did not finish"})
+    build = bench_build(rng)
     cpp = bench_cpp_baseline(dev["proteins"], dev["table"],
                              dev["max_probes"])
     jv = bench_java_baseline(dev["proteins"], key_lo, key_hi, roles)
     py = bench_python_baseline(dev["proteins"], key_lo, key_hi, roles)
-    big = bench_big_table(rng, dev["device_kind"])
     dna = bench_dna(rng)
-    build = bench_build(rng)
     hashanno = bench_hashanno(rng)
     proj = bench_projection(rng)
-    mesh_thread.join(timeout=1600)
-    mesh = mesh_out.get("r", {"error": "mesh harness did not finish"})
 
     vs_cpp = (dev["proteins_per_s"] / cpp["proteins_per_s"]) if cpp else None
     vs_py = dev["proteins_per_s"] / py["proteins_per_s"]
