@@ -364,8 +364,8 @@ def config5_section(jax, jnp):
     roles_m, hits_m, ovf = step(d_tables, sc, ss, sv, jnp.int32(5))
     assert int(ovf) == 0
     times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(1):   # a scale PROOF, not a perf claim: one timed
+        t0 = time.perf_counter()   # rep keeps the harness in budget
         r2, h2, ovf = step(d_tables, sc, ss, sv, jnp.int32(5))
         int(jnp.sum(h2))
         times.append(time.perf_counter() - t0)
