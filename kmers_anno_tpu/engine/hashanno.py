@@ -56,7 +56,7 @@ def _pack(codes, k: int):
 
 
 # dense (prototypes × proteins) chunks are capped at this many cells
-DENSE_CELLS = 1 << 24
+DENSE_CELLS = 1 << 26
 
 # owner-matrix width cap: one highly duplicated protein family (dozens of
 # identical transposase copies sharing every kmer) would otherwise inflate

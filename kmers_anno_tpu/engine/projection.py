@@ -347,9 +347,12 @@ def _probe_rle_multi(tables, d_lo, d_hi, d_valid, *,
 #      compacted keys against each genome's table, sort hits by the
 #      packed (frame, peg, contig, left) candidate key, run the Q6
 #      window scan with a merge-rank trick (no 64-bit searchsorted
-#      needed), and compact the surviving candidates;
-#   3. pull ONE flat buffer (~2 MB) of per-genome candidates + stats;
-#      the host only extends/filters/dedups proposals (propose_batch).
+#      needed), extend candidates via gathers into device ORF scan
+#      arrays, apply float64-exact weak/small filters, and run the Q7
+#      ORF dedup against an incumbent array CARRIED across genomes;
+#   3. pull ONE flat buffer (~3 MB) of per-genome STORED events + stats;
+#      the host only replays them into the proposal dict
+#      (PegProposalList.replay_stored) and emits features.
 #
 # Packed candidate key (uint32 pair) — fixed field widths so the scan
 # body compiles once:  khi = frame(3) | peg(20) | contig_hi(6),
