@@ -246,10 +246,15 @@ def bench_cpp_baseline(proteins, table, max_probes):
     roles = native.apply_baseline(proteins, table, max_probes, K, MIN_HITS)
     if roles is None:
         return None
-    t0 = time.perf_counter()
-    roles = native.apply_baseline(proteins, table, max_probes, K, MIN_HITS)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        roles = native.apply_baseline(proteins, table, max_probes, K,
+                                      MIN_HITS)
+        times.append(time.perf_counter() - t0)
+    dt = _spread(times)["median"]
     return dict(proteins_per_s=len(proteins) / dt,
+                seconds_spread=_spread(times),
                 called=int((roles >= 0).sum()))
 
 
@@ -269,11 +274,15 @@ def bench_java_baseline(proteins, key_lo, key_hi, roles):
     jb = native.JavaDataflowBaseline(texts, roles.astype(np.int32), K)
     prots = [decode_protein(p) for p in proteins]
     jb.apply(prots[:256], K, MIN_HITS)   # warm
-    t0 = time.perf_counter()
-    out = jb.apply(prots, K, MIN_HITS)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jb.apply(prots, K, MIN_HITS)
+        times.append(time.perf_counter() - t0)
+    dt = _spread(times)["median"]
     jb.close()
     return dict(proteins_per_s=len(prots) / dt,
+                seconds_spread=_spread(times),
                 called=int((out >= 0).sum()))
 
 
@@ -554,15 +563,17 @@ def _cpp_projection_baseline(new_genome, olds, k, cls=None):
                   if f.protein_translation] for og in olds.values()]
     codes = [encode_dna(c.sequence) for c in g.contigs]
     lut = np.asarray(codon_lut(g.genetic_code), np.uint8)
-    t0 = time.perf_counter()
-    pb = cls(codes, lut, k)
-    pairs = 0
-    for prots in prot_sets:
-        p, _, _ = pb.match(prots, 0.50, 1.5, 0.8)
-        pairs += p
-    dt = time.perf_counter() - t0
-    pb.close()
-    return dt, pairs
+    times = []
+    for _ in range(3):                  # the reference rebuilds per
+        t0 = time.perf_counter()        # genome; each rep does too
+        pb = cls(codes, lut, k)
+        pairs = 0
+        for prots in prot_sets:
+            p, _, _ = pb.match(prots, 0.50, 1.5, 0.8)
+            pairs += p
+        pb.close()
+        times.append(time.perf_counter() - t0)
+    return _spread(times)["median"], pairs
 
 
 def bench_projection(rng):
@@ -690,18 +701,21 @@ def bench_hashanno(rng):
         from kmers_anno_tpu.genome.gto import protein_md5
 
         texts = [p.protein for p in protos]
-        t0 = time.perf_counter()
-        called_cpp = 0
-        sims_cpp = []
-        for prots in genomes:               # per-genome, like the
-            hb = native.HashAnnoBaseline(   # reference's thread fan-out
-                prots, K, min_score)        # run on one core
-            hb.score(texts)
-            sim, _ = hb.best()
-            called_cpp += int((sim > 0).sum())
-            sims_cpp.append(sim)
-            hb.close()
-        cpp = dict(seconds=time.perf_counter() - t0,
+        ctimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            called_cpp = 0
+            sims_cpp = []
+            for prots in genomes:           # per-genome, like the
+                hb = native.HashAnnoBaseline(  # reference's thread
+                    prots, K, min_score)    # fan-out run on one core
+                hb.score(texts)
+                sim, _ = hb.best()
+                called_cpp += int((sim > 0).sum())
+                sims_cpp.append(sim)
+                hb.close()
+            ctimes.append(time.perf_counter() - t0)
+        cpp = dict(seconds=_spread(ctimes)["median"],
                    called=called_cpp)
         # engine parity: identical best similarity per protein sequence
         for prots, sim in zip(genomes, sims_cpp):
