@@ -423,7 +423,7 @@ def bench_dna(rng):
             t0 = time.perf_counter()
             hits = native.dna_baseline(contigs[0], table, max_probes, k)
             times.append(time.perf_counter() - t0)
-        cpp = dict(contig_bases_per_s=round(bases / min(times), 0),
+        cpp = dict(contig_bases_per_s=round(bases / _spread(times)["median"], 0),
                    hits=hits)
     return dict(k=k, table_entries=len(idx), seconds_spread=sp,
                 contig_bases_per_s=round(bases / dt, 0),
