@@ -215,12 +215,18 @@ def probe_wide(table, key_lo, key_hi, valid, salt, max_probes: int = 1):
     hi = key_hi.reshape(-1)
     q = lo.shape[0]
     qpad = -q % _LANES
+    v = valid.reshape(-1)
     if qpad:
         lo = jnp.concatenate([lo, jnp.zeros(qpad, jnp.uint32)])
         hi = jnp.concatenate([hi, jnp.zeros(qpad, jnp.uint32)])
+        v = jnp.concatenate([v, jnp.zeros(qpad, bool)])
     qb = (q + qpad) // _LANES
     b = (mix_kmer_salted(lo, hi, salt.astype(jnp.uint32), jnp)
          & jnp.uint32(n_rows - 1)).astype(jnp.int32)
+    # invalid queries (padding windows, ~8% of an apply batch) would
+    # otherwise gather RANDOM rows; pinning them to row 0 keeps those
+    # gathers cache-hot (results are masked below either way)
+    b = jnp.where(v, b, 0)
     lo_t = lo.reshape(qb, 1, _LANES)
     hi_t = hi.reshape(qb, 1, _LANES)
     val = jnp.full((qb, _LANES), -1, jnp.int32)
